@@ -1,0 +1,286 @@
+"""The parse → enrich → route → aggregate pipeline (the engine's flagship job).
+
+Spark-first re-expression of the reference CLI's full run (SURVEY.md §3.1-3.2):
+
+| reference                                   | here                                  |
+|---------------------------------------------|---------------------------------------|
+| stream file in 50k-line batches             | partitioned scan of the token table   |
+| LLM template discovery per batch            | distinct-signature agg + driver Drain |
+| replay: re-match all chunks vs final library| single pass vs the frozen mapping     |
+| per-library chunk fan-out (chunk-manager)   | partitionBy(sink, template_id) write  |
+| match counts + conflict/failure reports     | sink_counts/ntok_hist/failures tables |
+
+Scale shape (designed for 10^12 rows / 1000 executors, exercised on local[N]):
+- stage boundaries are shuffle exchanges; the only wide op on the full fact
+  stream is the final fan-out repartition (salted: sink × template × doc-hash
+  salt) and the aggregate shuffles, which run on pre-combined map-side rows;
+- template mapping and source dims are broadcast (KB-MB) → all enrichment
+  joins are broadcast-hash, no shuffle;
+- discovery aggregates (source, content_sig) — cardinality ~templates, not
+  rows — then runs Drain on the driver over that tiny set;
+- AQE handles the deliberately-skewed hot source; the salt bounds the largest
+  fan-out task.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_parser_cli_spark.operators.drain import cluster_signatures
+from log_parser_cli_spark.operators.parse import parse_stage
+from log_parser_cli_spark.plans.checkpoint import Manifest
+
+UNPARSED = "__UNPARSED__"
+UNMATCHED = "__UNMATCHED__"
+
+
+@dataclass
+class PipelineResult:
+    out_dir: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def load_dims(spark: SparkSession, fixture_dir: str) -> tuple[list[tuple[int, str]], dict[str, tuple[str, int]], DataFrame]:
+    """Load vocab + source-head config (small driver-side dims) + sources df."""
+    vocab_rows = [
+        (int(r.token_id), r.text)
+        for r in spark.read.parquet(os.path.join(fixture_dir, "vocab.parquet")).collect()
+    ]
+    sources_df = spark.read.parquet(os.path.join(fixture_dir, "sources.parquet"))
+    source_heads = {
+        r.source: (r.head_pattern, int(r.content_group)) for r in sources_df.collect()
+    }
+    return vocab_rows, source_heads, sources_df
+
+
+def discover_templates(spark: SparkSession, parsed: DataFrame) -> DataFrame:
+    """Distinct-signature aggregation + driver-side Drain → signature mapping.
+
+    Returns the mapping DataFrame (source, content_sig, template_id,
+    template_star) — the frozen "template library" equivalent. Deterministic:
+    ids ordered by first-seen doc_id then signature (SURVEY.md §7.4).
+    """
+    sig_stats = (
+        parsed.filter(F.col("head_matched"))
+        .groupBy("source", "content_sig")
+        .agg(F.count("*").alias("n_rows"), F.min("doc_id").alias("first_doc"))
+        .collect()
+    )
+    per_source: dict[str, list[tuple[str, int, int]]] = {}
+    first_docs: dict[str, dict[str, str]] = {}
+    for r in sig_stats:
+        # order key: first_doc is zero-padded ⇒ lexicographic == numeric order
+        per_source.setdefault(r.source, []).append((r.content_sig, int(r.n_rows), 0))
+        first_docs.setdefault(r.source, {})[r.content_sig] = r.first_doc
+    mapping_rows = []
+    for source in sorted(per_source):
+        sig_rows = [
+            (sig, n, int(first_docs[source][sig].split("-")[-1]))
+            for sig, n, _ in per_source[source]
+        ]
+        clusters = cluster_signatures(sig_rows)
+        order = sorted(clusters, key=lambda c: (c.first_seen, c.template_words))
+        for idx, cluster in enumerate(order, start=1):
+            tid = f"{source}#{idx}"
+            star = cluster.template_star
+            for sig in cluster.signatures:
+                mapping_rows.append((source, sig, tid, star))
+    return spark.createDataFrame(
+        mapping_rows, "source string, content_sig string, template_id string, template_star string"
+    )
+
+
+def enrich_stage(parsed: DataFrame, mapping: DataFrame, sources_df: DataFrame) -> DataFrame:
+    """Broadcast-join enrichment (J1): signature → template, source → sink.
+
+    Pure Catalyst; both build sides are tiny ⇒ broadcast-hash joins, no
+    shuffle. Variable extraction is a JVM higher-order-function expression
+    (zip content words against the template's <*> skeleton) — no Python.
+    """
+    enriched = (
+        parsed.join(F.broadcast(mapping), ["source", "content_sig"], "left")
+        .join(F.broadcast(sources_df.select("source", "vendor", "sink")), ["source"], "left")
+        .withColumn(
+            "template_id",
+            F.when(~F.col("head_matched"), F.lit(UNPARSED)).otherwise(
+                F.coalesce(F.col("template_id"), F.lit(UNMATCHED))
+            ),
+        )
+        .withColumn(
+            "sink",
+            F.when(
+                F.col("template_id").isin(UNPARSED, UNMATCHED), F.lit("sink-failures")
+            ).otherwise(F.col("sink")),
+        )
+        .withColumn("template_star", F.coalesce(F.col("template_star"), F.lit("")))
+    )
+    # word-level variables: positions where the template skeleton disagrees
+    # with the content (i.e. <*>-bearing words). v1..vN naming (F7 semantics).
+    return enriched.withColumn(
+        "word_vars",
+        F.when(
+            F.col("template_star") == "",
+            F.expr("CAST(array() AS array<string>)"),
+        ).otherwise(
+            F.expr(
+                "filter(zip_with(split(content, ' '), split(template_star, ' '),"
+                " (w, t) -> IF(t = w, NULL, w)), x -> x IS NOT NULL)"
+            )
+        ),
+    ).withColumn(
+        "variables",
+        F.expr(
+            "map_from_entries(transform(word_vars,"
+            " (w, i) -> struct(concat('v', i + 1) AS key, w AS value)))"
+        ),
+    ).withColumn("n_vars", F.size("word_vars"))
+
+
+def route_stage(
+    enriched: DataFrame, out_dir: str, salt_buckets: int = 16, shuffle_partitions: int | None = None
+) -> str:
+    """Deterministic fan-out write partitioned by (sink, template_id) — K1.
+
+    Salting: within one (sink, template_id) partition, rows spread over
+    ``salt_buckets`` tasks keyed by hash(doc_id) — the hot source cannot
+    serialize into one writer task. Original ``tokens`` ride along untouched.
+    """
+    routed_path = os.path.join(out_dir, "routed")
+    (
+        enriched.select(
+            "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
+            "template_star", "content", "variables", "n_vars",
+        )
+        .repartition(
+            F.col("sink"), F.col("template_id"), F.pmod(F.hash("doc_id"), F.lit(salt_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("sink", "template_id")
+        .parquet(routed_path)
+    )
+    return routed_path
+
+
+def aggregate_stage(spark: SparkSession, routed_path: str, out_dir: str) -> dict[str, str]:
+    """Per-sink aggregates: template counts (A2) + n_tok histogram (A13).
+
+    Reads the routed table back (partition-pruned scans at consumer time);
+    both aggregates are map-side-combinable group-bys.
+    """
+    routed = spark.read.parquet(routed_path)
+    counts_path = os.path.join(out_dir, "sink_counts")
+    hist_path = os.path.join(out_dir, "ntok_hist")
+    (
+        routed.groupBy("source", "sink", "template_id", "template_star")
+        .agg(F.count("*").alias("n_sequences"), F.sum("n_tok").alias("sum_n_tok"))
+        .write.mode("overwrite")
+        .parquet(counts_path)
+    )
+    (
+        routed.groupBy("source", "sink", "template_id", "n_tok")
+        .agg(F.count("*").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(hist_path)
+    )
+    return {"sink_counts": counts_path, "ntok_hist": hist_path}
+
+
+def _lineage(df: DataFrame, stage: str, run_id: str, out_dir: str, wall_ms: float) -> int:
+    """Per-partition lineage rows (K4 analog): rows per partition per stage."""
+    from pyspark.sql.functions import spark_partition_id
+
+    stats = df.groupBy(spark_partition_id().alias("partition_id")).count()
+    rows = stats.withColumn("stage", F.lit(stage)).withColumn("run_id", F.lit(run_id)).withColumn(
+        "wall_ms", F.lit(float(wall_ms))
+    )
+    rows.write.mode("append").parquet(os.path.join(out_dir, "run_metrics"))
+    return sum(r["count"] for r in stats.collect())
+
+
+def run_pipeline(
+    spark: SparkSession,
+    fixture_dir: str,
+    out_dir: str,
+    run_id: str = "run-1",
+    resume: bool = False,
+    lineage: bool = False,
+    salt_buckets: int = 16,
+    mapping_df: DataFrame | None = None,
+    seq_df: DataFrame | None = None,
+) -> PipelineResult:
+    """Full parse → enrich → route → aggregate job.
+
+    ``mapping_df``: pass a frozen template mapping to run match-only replay
+    (the reference's --match-only path); otherwise discovery runs first.
+    ``resume=True`` skips stages committed in the checkpoint manifest.
+    """
+    result = PipelineResult(out_dir=out_dir)
+    manifest = Manifest(out_dir, run_id)
+    vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
+    if seq_df is None:
+        seq_df = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+
+    parsed_path = os.path.join(out_dir, "parsed")
+
+    def stage(name: str, fn):
+        if resume and manifest.is_done(name):
+            result.stages_skipped.append(name)
+            return
+        t0 = time.time()
+        info = fn() or {}
+        manifest.commit(name, wall_ms=(time.time() - t0) * 1000.0, **info)
+        result.stages_run.append(name)
+
+    # -- stage 1: parse (checkpointed so downstream stages & resume reuse it)
+    def do_parse():
+        parsed = parse_stage(spark, seq_df, vocab_rows, source_heads)
+        parsed.write.mode("overwrite").parquet(parsed_path)
+        if lineage:
+            n = _lineage(spark.read.parquet(parsed_path), "parse", run_id, out_dir, 0)
+        else:
+            n = spark.read.parquet(parsed_path).count()
+        result.counts["parsed"] = n
+        return {"rows": n}
+
+    stage("parse", do_parse)
+    parsed = spark.read.parquet(parsed_path)
+
+    # -- stage 2: discover (skipped in match-only mode)
+    mapping_path = os.path.join(out_dir, "template_mapping")
+    if mapping_df is None:
+
+        def do_discover():
+            mapping = discover_templates(spark, parsed)
+            mapping.write.mode("overwrite").parquet(mapping_path)
+            return {"templates": mapping.select("template_id").distinct().count()}
+
+        stage("discover", do_discover)
+        mapping_df_local = spark.read.parquet(mapping_path)
+    else:
+        mapping_df_local = mapping_df
+
+    # -- stage 3: enrich + route
+    def do_route():
+        enriched = enrich_stage(parsed, mapping_df_local, sources_df)
+        routed_path = route_stage(enriched, out_dir, salt_buckets=salt_buckets)
+        if lineage:
+            _lineage(spark.read.parquet(routed_path), "route", run_id, out_dir, 0)
+        return {"routed_path": routed_path}
+
+    stage("route", do_route)
+    routed_path = os.path.join(out_dir, "routed")
+
+    # -- stage 4: aggregate
+    def do_aggregate():
+        paths = aggregate_stage(spark, routed_path, out_dir)
+        return paths
+
+    stage("aggregate", do_aggregate)
+    return result
