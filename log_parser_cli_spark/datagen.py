@@ -224,20 +224,37 @@ def _make_pools(rng: np.random.Generator) -> dict[str, list[str]]:
     }
 
 
-def _render_head(kind: str, rng: np.random.Generator, pools: dict[str, list[str]]) -> str:
-    pick = lambda k: pools[k][int(rng.integers(0, len(pools[k])))]  # noqa: E731
+class _Draw:
+    """Bulk uniform-int buffer: one big rng call amortizes per-draw cost."""
+
+    def __init__(self, rng: np.random.Generator, size: int = 1 << 16):
+        self._rng = rng
+        self._size = size
+        self._buf = rng.integers(0, 1 << 31, size=size)
+        self._i = 0
+
+    def pick(self, seq):
+        if self._i >= self._size:
+            self._buf = self._rng.integers(0, 1 << 31, size=self._size)
+            self._i = 0
+        v = self._buf[self._i]
+        self._i += 1
+        return seq[int(v) % len(seq)]
+
+
+def _render_head(kind: str, d: _Draw, pools: dict[str, list[str]]) -> str:
     if kind == "ts_level_pid":
-        return f"{pick('ts')} {LEVELS[int(rng.integers(0, len(LEVELS)))]} pid={pick('int')}"
+        return f"{d.pick(pools['ts'])} {d.pick(LEVELS)} pid={d.pick(pools['int'])}"
     if kind == "date_time_level":
-        return f"{pick('date')} {pick('time')} {LEVELS[int(rng.integers(0, 3))]}"
+        return f"{d.pick(pools['date'])} {d.pick(pools['time'])} {d.pick(LEVELS[:3])}"
     if kind == "time_pid_tid_level":
-        return f"{pick('mtime')} {pick('int')} {pick('int')} {ANDROID_LEVELS[int(rng.integers(0, 5))]}"
+        return f"{d.pick(pools['mtime'])} {d.pick(pools['int'])} {d.pick(pools['int'])} {d.pick(ANDROID_LEVELS)}"
     if kind == "syslog":
-        return f"{pick('date')} {HOSTS[int(rng.integers(0, len(HOSTS)))]} sshd[{pick('int')}]:"
+        return f"{d.pick(pools['date'])} {d.pick(HOSTS)} sshd[{d.pick(pools['int'])}]:"
     if kind == "bracket_time":
-        return f"[{pick('time')}]"
+        return f"[{d.pick(pools['time'])}]"
     if kind == "comp":
-        return COMPS[int(rng.integers(0, len(COMPS)))]
+        return d.pick(COMPS)
     raise ValueError(kind)
 
 
@@ -250,7 +267,7 @@ def _word_is_slot(w: str) -> bool:
 
 
 def render_template(
-    tpl: str, rng: np.random.Generator, pools: dict[str, list[str]]
+    tpl: str, d: "_Draw", pools: dict[str, list[str]]
 ) -> tuple[str, str, list[str], list[str]]:
     """Render one content line from a template spec.
 
@@ -274,11 +291,11 @@ def render_template(
         prefix, slot, suffix = w[:lb], w[lb + 1 : rb], w[rb + 1 :]
         if slot.startswith("kv:"):
             key = slot.split(":", 1)[1]
-            value = pools["int"][int(rng.integers(0, len(pools["int"])))]
+            value = d.pick(pools["int"])
             word = f"{key}={value}"
             star_words.append(f"{key}=<*>")
         else:
-            value = pools[slot][int(rng.integers(0, len(pools[slot])))]
+            value = d.pick(pools[slot])
             word = f"{prefix}{value}{suffix}"
             # a {word} slot value is plain-alpha → pipeline sees the whole word
             # as the variable; star form is still <*>
@@ -300,8 +317,8 @@ def build_template_dim(rng: np.random.Generator, pools: dict[str, list[str]]) ->
     for src in SOURCES:
         for k, tpl in enumerate(src.templates, start=1):
             # Embed one deterministic sample's values in ⟪⟫ placeholders.
-            sample_rng = np.random.default_rng(SEED + 1000 + k)
-            content, star, values, _ = render_template(tpl, sample_rng, pools)
+            sample_draw = _Draw(np.random.default_rng(SEED + 1000 + k), size=256)
+            content, star, values, _ = render_template(tpl, sample_draw, pools)
             ph_words = []
             vi = 0
             for w in _template_words(tpl):
@@ -342,6 +359,19 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
     src_weights = src_weights / src_weights.sum()
     src_choice = rng.choice(len(SOURCES), size=n_rows, p=src_weights)
     noise_mask = rng.random(n_rows) < noise_frac
+    draw = _Draw(rng)
+    # Pre-draw per-source template choices in bulk (np.random.choice with
+    # probabilities is slow when called per row).
+    tpl_choice: dict[str, np.ndarray] = {}
+    tpl_cursor: dict[str, int] = {}
+    for si, src in enumerate(SOURCES):
+        cnt = int((src_choice == si).sum())
+        if src.template_weights is not None:
+            w = np.array(src.template_weights)
+        else:
+            w = 1.0 / np.arange(1, len(src.templates) + 1)
+        tpl_choice[src.name] = rng.choice(len(src.templates), size=cnt, p=w / w.sum())
+        tpl_cursor[src.name] = 0
 
     vocab: dict[str, int] = {}
 
@@ -360,23 +390,18 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
         src = SOURCES[int(src_choice[i])]
         doc_id = f"doc-{i:09d}"
         if noise_mask[i]:
-            nw = int(rng.integers(4, 9))
-            words = [NOISE_WORDS[int(j)] for j in rng.integers(0, len(NOISE_WORDS), nw)]
+            nw = 4 + int(draw.pick(range(5)))
+            words = [draw.pick(NOISE_WORDS) for _ in range(nw)]
             line = " ".join(words)
             gt = {
                 "event_id": "__UNPARSED__", "event_template": "", "head_matched": False,
                 "n_vars": 0, "var_concat": "", "word_var_concat": "", "content": "",
             }
         else:
-            if src.template_weights is not None:
-                w = np.array(src.template_weights)
-                t_idx = int(rng.choice(len(src.templates), p=w / w.sum()))
-            else:
-                # zipf-ish skew over templates
-                ranks = 1.0 / np.arange(1, len(src.templates) + 1)
-                t_idx = int(rng.choice(len(src.templates), p=ranks / ranks.sum()))
-            head = _render_head(src.head_kind, rng, pools)
-            content, star, values, word_vars = render_template(src.templates[t_idx], rng, pools)
+            t_idx = int(tpl_choice[src.name][tpl_cursor[src.name]])
+            tpl_cursor[src.name] += 1
+            head = _render_head(src.head_kind, draw, pools)
+            content, star, values, word_vars = render_template(src.templates[t_idx], draw, pools)
             line = f"{head} {content}"
             gt = {
                 "event_id": f"{src.name}#{t_idx + 1}", "event_template": star,
@@ -410,7 +435,10 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
             "source": pa.array(srcs, pa.string()),
         }
     )
-    pq.write_table(seq_tbl, os.path.join(out_dir, "sequences.parquet"))
+    # Small row groups keep the file splittable: Spark parallelizes a parquet
+    # scan at row-group granularity, so one giant row group would serialize
+    # the whole parse stage into a single task regardless of cluster size.
+    pq.write_table(seq_tbl, os.path.join(out_dir, "sequences.parquet"), row_group_size=20_000)
 
     words_sorted = sorted(vocab.items(), key=lambda kv: kv[1])
     pq.write_table(
@@ -467,7 +495,7 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
             "content": pa.array([r["content"] for r in gt_rows]),
         }
     )
-    pq.write_table(gt_tbl, os.path.join(out_dir, "ground_truth.parquet"))
+    pq.write_table(gt_tbl, os.path.join(out_dir, "ground_truth.parquet"), row_group_size=20_000)
 
     # Eval labels fixture: deterministic perturbation of GT — oversplit two
     # templates by line parity (pure split), merge two others (impure merge).
@@ -492,15 +520,25 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
     )
 
     with open(os.path.join(out_dir, "_DONE.json"), "w") as f:
-        json.dump({"n_rows": n_rows, "seed": seed, "vocab_size": len(vocab)}, f)
+        json.dump(
+            {"n_rows": n_rows, "seed": seed, "vocab_size": len(vocab), "gen_version": GEN_VERSION},
+            f,
+        )
+
+
+GEN_VERSION = 3  # bump to invalidate previously-generated fixture dirs
 
 
 def ensure_fixtures(sf_name: str, base_dir: str | None = None, n_rows: int | None = None) -> str:
     """Generate fixtures for an sf once; reuse afterwards. Returns dir path."""
     base = base_dir or os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "fixtures")
     out_dir = os.path.join(base, sf_name)
-    if not os.path.exists(os.path.join(out_dir, "_DONE.json")):
-        generate(out_dir, n_rows or SF_ROWS.get(sf_name, 30_000))
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("gen_version") == GEN_VERSION:
+                return out_dir
+    generate(out_dir, n_rows or SF_ROWS.get(sf_name, 30_000))
     return out_dir
 
 

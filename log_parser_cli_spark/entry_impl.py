@@ -1,0 +1,687 @@
+"""Implementations behind __spark_entry__.py: queries + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 gets a (Spark callable, ANSI-SQL
+oracle) pair; the driver cross-checks them at sf0.01 (row count + schema +
+order-insensitive value hash). Column names/types are aligned on both sides;
+all floats are rounded identically before comparison.
+
+Driver tables (region..embeddings) are read from the given sf_dir; the token
+pipeline runs on this repo's deterministic fixtures (datagen.py), which the
+oracle SQL reads by absolute path — DuckDB sees the same parquet bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log_parser_cli_spark.datagen import ensure_fixtures, fixtures_for_sf_dir
+
+# Bump when pipeline logic changes so cached run dirs are invalidated.
+ENGINE_VERSION = 4
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _runs_base() -> str:
+    return os.path.join(_REPO_ROOT, "data", "runs")
+
+
+def pipeline_out_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run (or reuse) the full pipeline for this sf; returns (out_dir, fixture_dir)."""
+    from log_parser_cli_spark.plans.pipeline import run_pipeline
+
+    fixture_dir = fixtures_for_sf_dir(sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    from log_parser_cli_spark.datagen import GEN_VERSION
+    out_dir = os.path.join(_runs_base(), f"{sf_name}-v{ENGINE_VERSION}.{GEN_VERSION}")
+    run_pipeline(spark, fixture_dir, out_dir, run_id=f"entry-{sf_name}", resume=True)
+    return out_dir, fixture_dir
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _fx(name: str, sf: str = "sf0.01") -> str:
+    """Absolute fixture parquet path for oracle SQL (driver compares at sf0.01)."""
+    return os.path.join(ensure_fixtures(sf), f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries (token-table fixtures)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = pipeline_out_for(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(out, "sink_counts"))
+        .groupBy("source", "template_star")
+        .agg(F.sum("n_sequences").cast("long").alias("n_sequences"))
+    )
+
+
+def q_pipeline_route_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, fx = pipeline_out_for(spark, sf_dir)
+    routed = spark.read.parquet(os.path.join(out, "routed")).select(
+        "doc_id", F.col("tokens").alias("routed_tokens")
+    )
+    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet")).select("doc_id", "tokens")
+    return routed.join(seq, "doc_id", "full").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("tokens").isNull()
+                | F.col("routed_tokens").isNull()
+                | (F.col("tokens") != F.col("routed_tokens")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_token_mismatch"),
+    )
+
+
+def q_pipeline_ntok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = pipeline_out_for(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(out, "ntok_hist"))
+        .groupBy("source", F.col("n_tok").cast("long").alias("n_tok"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def q_pipeline_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = pipeline_out_for(spark, sf_dir)
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    return (
+        routed.withColumn(
+            "var_chars",
+            F.length(
+                F.array_join(
+                    F.expr("transform(sequence(1, n_vars), i -> variables[concat('v', i)])"),
+                    "|",
+                )
+            ),
+        )
+        .groupBy("source", "template_star")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_vars").cast("long").alias("total_vars"),
+            F.sum(F.coalesce("var_chars", F.lit(0))).cast("long").alias("total_var_chars"),
+        )
+    )
+
+
+def q_match_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.operators.matcher import match_templates
+    from log_parser_cli_spark.operators.parse import parse_stage
+    from log_parser_cli_spark.oracle import load_fixture_table
+    from log_parser_cli_spark.plans.pipeline import load_dims
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    vocab_rows, source_heads, _ = load_dims(spark, fx)
+    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
+    parsed = parse_stage(spark, seq, vocab_rows, source_heads)
+    matched = match_templates(spark, parsed, load_fixture_table(fx, "templates"))
+    return matched.groupBy(
+        "source",
+        F.coalesce(
+            "template_id",
+            F.when(~F.col("head_matched"), F.lit("__UNPARSED__")).otherwise(
+                F.lit("__UNMATCHED__")
+            ),
+        ).alias("template_id"),
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+
+
+def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.operators.parse import parse_stage
+    from log_parser_cli_spark.plans.pipeline import load_dims
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    vocab_rows, source_heads, _ = load_dims(spark, fx)
+    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
+    parsed = parse_stage(spark, seq, vocab_rows, source_heads)
+    return parsed.groupBy("source", "head_matched").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.eval.metrics import accuracy_metrics
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    labels = spark.read.parquet(os.path.join(fx, "labels.parquet"))
+    m = accuracy_metrics(labels)
+    row = [tuple(round(m[k], 6) for k in _METRIC_COLS)]
+    return spark.createDataFrame(row, ", ".join(f"{c.lower()} double" for c in _METRIC_COLS))
+
+
+_METRIC_COLS = [
+    "GA", "GA_precision", "GA_recall", "PA", "predPure", "gtPure",
+    "GA_friendly", "PA_friendly", "pureCoverage",
+]
+
+
+def q_alignment_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/J5: FIFO occurrence numbering of duplicate rendered lines."""
+    fx = fixtures_for_sf_dir(sf_dir)
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet"))
+    w = Window.partitionBy("rendered").orderBy("line_no")
+    return (
+        gt.withColumn("occurrence_no", F.row_number().over(w))
+        .groupBy(F.col("occurrence_no").cast("long").alias("occurrence_no"))
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+
+
+def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W2: keep the newest 100 rows per source (match-store cap)."""
+    fx = fixtures_for_sf_dir(sf_dir)
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet"))
+    w = Window.partitionBy("source").orderBy(F.desc("line_no"))
+    return (
+        gt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.min("line_no").cast("long").alias("oldest_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extras (driver tables: documents / embeddings / events / orders)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.dedup import exact_dup_stats
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return exact_dup_stats(docs, "doc_id", "text")
+
+
+def q_dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.3).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "jaccard"
+    )
+
+
+def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.dedup import minhash_dedup
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return minhash_dedup(docs, "doc_id", "text", k=2, threshold=0.3).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "jaccard"
+    )
+
+
+def q_dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    fp = simhash(docs, "doc_id", "text")
+    return simhash_pairs(fp, max_hamming=8).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), F.col("hamming").cast("long")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.similarity import cosine_topk
+
+    emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
+    return cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.similarity import ivf_topk
+
+    emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.similarity import cosine_pairs
+
+    emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
+    return cosine_pairs(emb, threshold=0.95)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.textstats import token_count
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.textstats import quality_score
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return docs.withColumn("q", quality_score("text", "n_chars")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.textstats import lang_id
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return lang_id(docs).groupBy("lang_guess").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.textstats import fingerprint_count
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    return fingerprint_count(docs, "doc_id", "text").select(
+        F.col("doc").cast("long").alias("doc_id"), "n_fingerprints"
+    )
+
+
+def q_events_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-style parse of the events props payload + per-type rollup."""
+    ev = spark.read.parquet(_tbl(sf_dir, "events"))
+    return (
+        ev.withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting: a >30 min gap starts a new session (lag window)."""
+    ev = spark.read.parquet(_tbl(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(ts_ms - F.lag(ts_ms).over(w) > 1_800_000, 1).otherwise(0),
+    )
+    return gapped.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+    )
+
+
+def q_orders_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast lookup-enrich join (J1 shape) on driver tables."""
+    orders = spark.read.parquet(_tbl(sf_dir, "orders"))
+    cust = spark.read.parquet(_tbl(sf_dir, "customer"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+QUERIES = {
+    "pipeline_sink_counts": q_pipeline_sink_counts,
+    "pipeline_route_equality": q_pipeline_route_equality,
+    "pipeline_ntok_hist": q_pipeline_ntok_hist,
+    "pipeline_variables": q_pipeline_variables,
+    "match_regex_counts": q_match_regex_counts,
+    "head_coverage": q_head_coverage,
+    "eval_metrics": q_eval_metrics,
+    "alignment_occurrences": q_alignment_occurrences,
+    "topk_per_source": q_topk_per_source,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_jaccard_docs": q_dedup_jaccard_docs,
+    "dedup_minhash_docs": q_dedup_minhash_docs,
+    "dedup_simhash_docs": q_dedup_simhash_docs,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "embedding_dedup": q_embedding_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "events_parse": q_events_parse,
+    "events_sessionize": q_events_sessionize,
+    "orders_enrich": q_orders_enrich,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
+
+H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"  # == Spark conv(md5)
+
+
+def _shingle_cte(k: int = 2) -> str:
+    return f"""
+docs_w AS (SELECT doc_id AS doc, string_split(lower(text), ' ') AS words FROM documents),
+exploded AS (
+  SELECT doc, words, unnest(range(0, greatest(len(words) - {k} + 1, 0))) AS i FROM docs_w
+),
+shingled AS (
+  SELECT DISTINCT doc, array_to_string(words[i + 1 : i + {k}], ' ') AS shingle FROM exploded
+),
+sizes AS (SELECT doc, count(*) AS sz FROM shingled GROUP BY doc)
+"""
+
+
+def _jaccard_sql(threshold: float, with_candidates: bool = False) -> str:
+    cand_filter = "JOIN cands USING (a, b)" if with_candidates else ""
+    return f"""
+inter AS (
+  SELECT x.doc AS a, y.doc AS b, CAST(count(*) AS DOUBLE) AS i
+  FROM shingled x JOIN shingled y USING (shingle)
+  WHERE x.doc < y.doc GROUP BY 1, 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter {cand_filter}
+JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+def _minhash_sql(threshold: float, n_hashes: int = 16, bands: int = 4) -> str:
+    rows_per_band = n_hashes // bands
+    mh_parts = []
+    for i in range(n_hashes):
+        hashed = H32.format(x=f"concat('mh{i}|', shingle)")
+        mh_parts.append(f"min({hashed}) AS h{i}")
+    mh_cols = ", ".join(mh_parts)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(2)},
+sig AS (SELECT doc, {mh_cols} FROM shingled GROUP BY doc),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.doc < y.doc
+),
+{_jaccard_sql(threshold, True)}
+"""
+
+
+def _simhash_sql(max_hamming: int = 8, chunks: int = 4, bits: int = 60) -> str:
+    width = bits // chunks
+    mask = (1 << width) - 1
+    bit_sum_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS val FROM fp"
+        for c in range(chunks)
+    )
+    h = H32.format(x="concat('sh|', word)")
+    return f"""
+WITH w AS (
+  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+hashed AS (SELECT doc, {h} AS h FROM w),
+bitsums AS (SELECT doc, {bit_sum_cols} FROM hashed GROUP BY doc),
+fp AS (SELECT doc, {fp_expr} AS simhash FROM bitsums),
+banded AS ({chunk_selects})
+SELECT DISTINCT CAST(x.doc AS BIGINT) AS a, CAST(y.doc AS BIGINT) AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM banded x JOIN banded y USING (chunk, val)
+WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+def _metrics_sql(labels_path: str) -> str:
+    return f"""
+WITH labels AS (SELECT pred_id, gt_id FROM '{labels_path}'),
+cells AS (SELECT pred_id, gt_id, CAST(count(*) AS DOUBLE) AS cnt FROM labels GROUP BY 1, 2),
+gt_sizes AS (SELECT gt_id, sum(cnt) AS sz FROM cells GROUP BY 1),
+pred_sizes AS (
+  SELECT pred_id, sum(cnt) AS sz, count(*) AS n_gt, max(cnt) AS top, min(gt_id) AS any_gt
+  FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labels),
+rp AS (SELECT coalesce(sum(sz * (sz - 1) / 2), 0) AS p FROM gt_sizes),
+pp AS (SELECT coalesce(sum(sz * (sz - 1) / 2), 0) AS p FROM pred_sizes),
+ap AS (SELECT coalesce(sum(cnt * (cnt - 1) / 2), 0) AS p FROM cells),
+ae AS (
+  SELECT coalesce(sum(ps.sz), 0) AS s FROM pred_sizes ps
+  JOIN gt_sizes gs ON ps.any_gt = gs.gt_id
+  WHERE ps.n_gt = 1 AND ps.sz = gs.sz
+),
+prp AS (SELECT sum(top) / sum(sz) AS v FROM pred_sizes),
+gtp AS (
+  SELECT sum(top) / sum(sz) AS v
+  FROM (SELECT gt_id, max(cnt) AS top, sum(cnt) AS sz FROM cells GROUP BY 1)
+),
+mapping AS (
+  SELECT pred_id, CASE WHEN n_gt = 1 THEN '__PURE__#' || any_gt ELSE pred_id END AS merged
+  FROM pred_sizes
+),
+fl AS (SELECT m.merged AS pred_id, l.gt_id FROM labels l JOIN mapping m USING (pred_id)),
+fc AS (SELECT pred_id, gt_id, CAST(count(*) AS DOUBLE) AS cnt FROM fl GROUP BY 1, 2),
+fps AS (SELECT pred_id, sum(cnt) AS sz, count(*) AS n_gt, min(gt_id) AS any_gt FROM fc GROUP BY 1),
+fpp AS (SELECT coalesce(sum(sz * (sz - 1) / 2), 0) AS p FROM fps),
+fap AS (SELECT coalesce(sum(cnt * (cnt - 1) / 2), 0) AS p FROM fc),
+fae AS (
+  SELECT coalesce(sum(f.sz), 0) AS s FROM fps f
+  JOIN gt_sizes gs ON f.any_gt = gs.gt_id WHERE f.n_gt = 1 AND f.sz = gs.sz
+),
+pure_rows AS (SELECT coalesce(sum(sz), 0) AS s FROM pred_sizes WHERE n_gt = 1),
+m AS (
+  SELECT
+    CASE WHEN pp.p = 0 THEN 0 ELSE ap.p / pp.p END AS prec,
+    CASE WHEN rp.p = 0 THEN 0 ELSE ap.p / rp.p END AS rec,
+    CASE WHEN fpp.p = 0 THEN 0 ELSE fap.p / fpp.p END AS fprec,
+    CASE WHEN rp.p = 0 THEN 0 ELSE fap.p / rp.p END AS frec,
+    ae.s / tot.n AS pa, fae.s / tot.n AS fpa,
+    prp.v AS pred_pure, gtp.v AS gt_pure, pure_rows.s / tot.n AS pcov
+  FROM pp, rp, ap, ae, fpp, fap, fae, tot, prp, gtp, pure_rows
+)
+SELECT
+  round(CASE WHEN prec + rec = 0 THEN 0 ELSE 2 * prec * rec / (prec + rec) END, 6) AS ga,
+  round(prec, 6) AS ga_precision,
+  round(rec, 6) AS ga_recall,
+  round(pa, 6) AS pa,
+  round(pred_pure, 6) AS predpure,
+  round(gt_pure, 6) AS gtpure,
+  round(CASE WHEN fprec + frec = 0 THEN 0 ELSE 2 * fprec * frec / (fprec + frec) END, 6) AS ga_friendly,
+  round(fpa, 6) AS pa_friendly,
+  round(pcov, 6) AS purecoverage
+FROM m
+"""
+
+
+def _lang_id_sql() -> str:
+    from log_parser_cli_spark.extras.textstats import STOPWORDS
+
+    hits = {
+        lang: f"len(list_intersect(string_split(lower(text), ' '), {list(ws)}))"
+        for lang, ws in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in STOPWORDS) + ")"
+    cascade = " ".join(
+        f"WHEN {best} > 0 AND h_{lang} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH scored AS (SELECT *, {hit_cols} FROM documents),
+guessed AS (SELECT CASE {cascade} ELSE 'und' END AS lang_guess FROM scored)
+SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs FROM guessed GROUP BY 1
+"""
+
+
+def build_oracle_sql() -> dict[str, str]:
+    gt = _fx("ground_truth")
+    labels = _fx("labels")
+    h32_fp = H32.format(x="concat('fp|', gram)")
+    return {
+        "pipeline_sink_counts": f"""
+            SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "pipeline_route_equality": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_token_mismatch
+            FROM '{gt}'
+        """,
+        "pipeline_ntok_hist": f"""
+            SELECT source, CAST(n_tok AS BIGINT) AS n_tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "pipeline_variables": f"""
+            SELECT source, event_template AS template_star,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_vars) AS BIGINT) AS total_vars,
+                   CAST(sum(length(word_var_concat)) AS BIGINT) AS total_var_chars
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "match_regex_counts": f"""
+            SELECT source, event_id AS template_id, CAST(count(*) AS BIGINT) AS n_rows
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "head_coverage": f"""
+            SELECT source, head_matched, CAST(count(*) AS BIGINT) AS n_rows
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "eval_metrics": _metrics_sql(labels),
+        "alignment_occurrences": f"""
+            WITH numbered AS (
+              SELECT row_number() OVER (PARTITION BY rendered ORDER BY line_no) AS occurrence_no
+              FROM '{gt}'
+            )
+            SELECT CAST(occurrence_no AS BIGINT) AS occurrence_no,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM numbered GROUP BY 1
+        """,
+        "topk_per_source": f"""
+            WITH numbered AS (
+              SELECT source, line_no,
+                     row_number() OVER (PARTITION BY source ORDER BY line_no DESC) AS rn
+              FROM '{gt}'
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(min(line_no) AS BIGINT) AS oldest_kept
+            FROM numbered WHERE rn <= 100 GROUP BY 1
+        """,
+        "dedup_exact_docs": """
+            WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+            SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
+                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+            FROM g
+        """,
+        "dedup_jaccard_docs": f"WITH {_shingle_cte(2)}, {_jaccard_sql(0.3)}",
+        "dedup_minhash_docs": _minhash_sql(0.3),
+        "dedup_simhash_docs": _simhash_sql(8),
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qvec, e.embedding), 4) AS sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id, sim
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_dedup": """
+            SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
+                   round(list_cosine_similarity(x.embedding, y.embedding), 4) AS sim
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.95
+        """,
+        "doc_token_stats": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "doc_quality": """
+            WITH q AS (
+              SELECT source,
+                     round(0.4 * least(1.0, len(string_split(lower(text), ' ')) / 80.0)
+                         + 0.4 * (len(list_distinct(string_split(lower(text), ' ')))
+                                  / greatest(CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 1.0))
+                         + 0.2 * least(1.0, n_chars / (len(string_split(lower(text), ' ')) * 8.0)), 4) AS qs
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs, round(avg(qs), 4) AS avg_quality
+            FROM q GROUP BY 1
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "doc_fingerprints": f"""
+            WITH docs_w AS (
+              SELECT doc_id AS doc, string_split(lower(text), ' ') AS words FROM documents
+            ),
+            exploded AS (
+              SELECT doc, words, unnest(range(0, greatest(len(words) - 3 + 1, 0))) AS pos FROM docs_w
+            ),
+            g AS (
+              SELECT doc, pos, {h32_fp} AS h
+              FROM (SELECT doc, pos, array_to_string(words[pos + 1 : pos + 3], ' ') AS gram FROM exploded)
+            ),
+            mins AS (
+              SELECT doc, pos,
+                     min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                     max(pos) OVER (PARTITION BY doc) AS maxpos
+              FROM g
+            )
+            SELECT CAST(doc AS BIGINT) AS doc_id,
+                   CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints
+            FROM mins WHERE pos <= maxpos - 3 GROUP BY 1
+        """,
+        "events_parse": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(sum(CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "events_sessionize": """
+            WITH gapped AS (
+              SELECT user_id,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+            FROM gapped GROUP BY 1
+        """,
+        "orders_enrich": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        # ann_ivf: approximate (no SQL twin) → rows-only check by design
+    }

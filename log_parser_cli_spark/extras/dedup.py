@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashes are engine-portable (md5-hex → integer) so DuckDB oracles can
+reproduce results bit-for-bit; all operators are pure DataFrame ops (JVM-side,
+no Python UDFs) and scale-shaped:
+
+- exact: one hash group-by (map-side combinable).
+- n-gram Jaccard: shingle-explode + equi-join on shingle — used as the
+  *verifier* on candidate pairs; never run all-pairs at scale.
+- MinHash + LSH: shingle → n_hashes seeded min-hashes → band buckets →
+  bucket-join for candidates → exact-Jaccard verification. The classic
+  Broder construction; the only shuffles are keyed on shingles/bands.
+- SimHash: word-hash sign-sum → 60-bit fingerprint; candidate pairs via
+  pigeonhole banding (4×15-bit chunks) then Hamming ≤ r filter.
+- embedding cosine near-dup: see extras/similarity.py for the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Portable 32-bit hash of a string expression (same value in DuckDB via
+# CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)).
+def hash32(col_expr: str, seed: str = "") -> str:
+    inner = f"concat('{seed}|', {col_expr})" if seed else col_expr
+    return f"CAST(conv(substr(md5({inner}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate statistics by content hash (A12-style distinct)."""
+    hashed = df.select(id_col, F.expr(f"md5({text_col})").alias("h"))
+    groups = hashed.groupBy("h").agg(F.count("*").alias("n"))
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("long").alias("n_dup_rows"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFrame:
+    """Distinct word k-gram shingles per document (lower-cased, space-split)."""
+    words = f"split(lower({text_col}), ' ')"
+    sh = (
+        f"CASE WHEN size({words}) < {k} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size({words}) - {k}),"
+        f" i -> array_join(slice({words}, i + 1, {k}), ' '))) END"
+    )
+    return df.select(F.col(id_col).alias("doc"), F.explode(F.expr(sh)).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (a, b, jaccard) with Jaccard ≥ threshold over k-gram shingles.
+
+    With ``candidates`` (columns a, b) only those pairs are scored — the
+    scale path; without, scoring happens for every shingle-sharing pair
+    (fine at test scale, quadratic in duplicate-group size at 100 TB).
+    """
+    sh = shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("a", "b"), ["a", "b"], "left_semi")
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 16
+) -> DataFrame:
+    """doc → array of n_hashes min-hash values (portable seeded md5 hashes)."""
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.expr(hash32("shingle", seed=f"mh{i}"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select("doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs (a<b)."""
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bucket")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.5,
+    n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify."""
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    cands = minhash_lsh_candidates(sig, bands, n_hashes // bands)
+    return jaccard_pairs(df, id_col, text_col, k, threshold, candidates=cands)
+
+
+SIMHASH_BITS = 60  # keep within signed-64 positive range for portability
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over lower-cased words (Charikar 2002 construction)."""
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("word"),
+    ).withColumn("h", F.expr(hash32("word", seed="sh")))
+    bit_sums = w.groupBy("doc").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc",
+        sum(
+            [F.expr(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END") for b in range(SIMHASH_BITS)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by Hamming distance via pigeonhole banding.
+
+    With ``chunks`` > ``max_hamming`` any pair within distance shares ≥1 exact
+    chunk, so candidates come from equi-joins on chunk values — never an
+    all-pairs cross join.
+    """
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.expr(f"(simhash >> {c * width}) & {mask}").alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", "ck.chunk", "ck.val")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

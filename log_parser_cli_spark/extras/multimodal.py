@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+metadata struct; heavy decode/feature steps are Arrow-batched ``mapInPandas``
+stages. The decode kernels themselves are STUBBED (no image/audio libraries in
+this container — they raise ``NotImplementedError`` unless the deterministic
+fake mode is on), but everything Spark-side is real and tested: schema,
+partition-preserving batch iteration, UDF signatures, batch shapes.
+
+At 100 TB the shape matters: payloads stay in executor memory one Arrow batch
+at a time (bounded by arrow.maxRecordsPerBatch), metadata-only stages prune
+the binary column entirely (column pruning keeps the scan light), and
+feature rows are a tiny fraction of payload bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_FIELDS = [
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("phash", T.StringType()),
+    T.StructField("decoded", T.BooleanType()),
+]
+
+
+def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table (binary payloads derived from md5)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.md5(f"{seed}-{i}".encode()).digest() * (4 + i % 7)
+        mime = ["image/png", "image/jpeg", "audio/wav", "video/mp4"][i % 4]
+        rows.append((f"asset-{i:06d}", bytearray(payload), mime, 64 + i, 48 + i, 1000 * (i + 1)))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _decode_image(payload: bytes) -> bytes:
+    """Real decode needs an image library not present in this container."""
+    raise NotImplementedError("image decode requires an image library (e.g. Pillow) — not bundled")
+
+
+def extract_features(
+    spark: SparkSession, assets: DataFrame, fake_decode: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``fake_decode=True`` computes deterministic features from the raw bytes
+    (length + md5-based perceptual-hash stand-in); ``False`` calls the real
+    decoder stub and raises — flip once decode libraries exist.
+    """
+    out_schema = T.StructType(
+        [f for f in assets.schema.fields if f.name != "payload"] + FEATURE_FIELDS
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = pdf["payload"]
+            if not fake_decode:
+                payloads.map(_decode_image)  # raises NotImplementedError
+            out = pdf.drop(columns=["payload"]).copy()
+            out["n_bytes"] = payloads.map(lambda b: len(b) if b is not None else 0).astype("int64")
+            out["phash"] = payloads.map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest()[:16] if b is not None else None
+            )
+            out["decoded"] = payloads.notna()
+            yield out
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Plan frame-sampling work without decoding: one row per (asset, ts_ms).
+
+    Pure Catalyst (sequence + explode) — the decode of each planned frame is
+    the stubbed mapInPandas stage above. Demonstrates how a 100 TB video
+    corpus fans out to frame tasks without touching payload bytes.
+    """
+    return (
+        assets.filter(F.col("mime").startswith("video/"))
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

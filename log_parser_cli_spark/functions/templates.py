@@ -221,3 +221,37 @@ _SLUG_STRIP = re.compile(r"[^a-z0-9]+")
 def slugify(s: str) -> str:
     """Lowercase, non-alphanumeric runs → '-', strip edge dashes."""
     return _SLUG_STRIP.sub("-", s.strip().lower()).strip("-")
+
+
+def fix_duplicated_variables(template: str, log_line: str) -> tuple[bool, str]:
+    """Validation utility (F6): repair self-duplicated variable values.
+
+    The reference's fixer recovers from an LLM pathology where a placeholder
+    embeds its value twice (``⟪abcabc⟫`` for raw ``abc``,
+    src/common/template-duplication-fixer.ts:38-141). Without an LLM this is a
+    validation tool only: for each var segment whose value is an exact
+    doubling, try halving it; accept the repair iff the repaired template
+    reconstructs the log line byte-exactly. Returns (fixed, template).
+    """
+    segments = parse_template_structure(template)
+    candidates: list[int] = []
+    for i, seg in enumerate(segments):
+        if seg.kind == "var" and len(seg.value) % 2 == 0 and len(seg.value) >= 2:
+            half = seg.value[: len(seg.value) // 2]
+            if half * 2 == seg.value:
+                candidates.append(i)
+    if not candidates:
+        return False, template
+    for i in candidates:
+        repaired = list(segments)
+        half = segments[i].value[: len(segments[i].value) // 2]
+        repaired[i] = TemplateSegment("var", half)
+        rebuilt = "".join(
+            f"{START}{s.value}{END}" if s.kind == "var" else s.value for s in repaired
+        )
+        try:
+            extract_variables_from_template(rebuilt, log_line)
+        except ValueError:
+            continue
+        return True, rebuilt
+    return False, template

@@ -31,7 +31,7 @@ MATCH_FIELDS = [
 
 
 def compile_ordered(
-    template_rows: list[dict], source: str, version: int
+    template_rows: list[dict], source: str, version
 ) -> list[tuple[str, re.Pattern[str]]]:
     """Compile one source's templates in precedence order, with caching."""
     key = (source, version)
@@ -50,7 +50,7 @@ def match_templates(
     template_rows: list[dict],
     content_col: str = "content",
     source_col: str = "source",
-    version: int = 0,
+    version=0,
 ) -> DataFrame:
     """Append (template_id, variables) via ordered first-match-wins.
 
@@ -59,6 +59,16 @@ def match_templates(
     the matched/unmatched split is a single pass (E1 semantics), callers
     filter ``template_id IS NULL`` for the failure side.
     """
+    import zlib
+
+    # cache version = fingerprint of the template set, so two different
+    # libraries for the same source never collide in the executor cache
+    fingerprint = zlib.crc32(
+        repr(
+            sorted((r["template_id"], r["source"], r["pattern"], r["created_at"]) for r in template_rows)
+        ).encode()
+    )
+    version = (version, fingerprint)
     sc = spark.sparkContext
     b_templates = sc.broadcast(template_rows)
 

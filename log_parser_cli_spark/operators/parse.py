@@ -1,23 +1,27 @@
 """Stage 1 — vectorized parse: render + head-extract + masked signature.
 
-The ONLY Python stage in the pipeline (Arrow-batched mapInPandas; everything
-downstream is pure Catalyst). Reimplements the reference's per-row machinery —
-head-pattern content extraction (src/core/head-pattern.ts:14-36) and template
-masking — with columnar tricks:
+The ONLY non-JVM stage in the pipeline, and it contains **zero per-row
+Python**: it runs as ``mapInArrow`` over Arrow RecordBatches with every step a
+vectorized Arrow/NumPy kernel:
 
-- rendering: one ``np.take`` over the flattened token values of the whole
-  Arrow batch (vocab is a broadcast numpy array, not a per-task pickle),
-- mask classification: precomputed per *vocab word* on the driver (the vocab is
-  tiny; the corpus is not), so per row it is another ``np.take`` — zero regex,
-- head extraction: one compiled regex per source (sources are few), applied
-  per line within the batch — the same cost the reference pays per row
-  (regex-worker-pool.ts:67-112) but Arrow-batched and executor-parallel, with a
-  per-executor compiled cache mirroring its TemplateRuntimeCache
-  (src/core/validation/template-runtime-cache.ts:30-60).
+- render: ``pc.take`` of the broadcast vocab over the batch's flattened token
+  values, then ``pc.binary_join`` of the word lists — one C++ pass,
+- head extraction: ``pc.extract_regex`` (RE2) per source over that source's
+  row subset — the reference applies one compiled regex per row
+  (src/core/head-pattern.ts:14-36); here it is one vectorized call per
+  (source, batch), with a Python ``re`` fallback for patterns RE2 cannot run,
+- masked signature: mask classes are precomputed per *vocab word* on the
+  driver (masking.py) and applied by a second ``pc.take``; the content suffix
+  is sliced with pure offset arithmetic (content is always a word-suffix of
+  the rendered line) and joined — again no per-row work.
 
 Output adds: content, content_sig (masked canonical signature), head_matched.
 ``tokens`` passes through untouched — the byte-exact token-array equality
 invariant is carried, never recomputed.
+
+Per-executor caches mirror the reference's TemplateRuntimeCache
+(template-runtime-cache.ts:22-60): vocab lookup arrays and compiled regexes
+are built once per worker process, not per task.
 """
 
 from __future__ import annotations
@@ -26,7 +30,8 @@ import re
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -38,32 +43,93 @@ PARSED_EXTRA_FIELDS = [
     T.StructField("head_matched", T.BooleanType()),
 ]
 
-# Per-executor compiled-regex cache (keyed by head-pattern text). Python module
-# state survives across tasks in an executor's worker process.
-_HEAD_RX_CACHE: dict[str, re.Pattern[str]] = {}
+# Per-executor-process caches (module state survives across tasks).
+_EXEC_CACHE: dict = {}
 
 
-def _compiled(pattern: str) -> re.Pattern[str]:
-    rx = _HEAD_RX_CACHE.get(pattern)
-    if rx is None:
-        rx = re.compile(pattern)
-        _HEAD_RX_CACHE[pattern] = rx
-    return rx
-
-
-def build_vocab_arrays(vocab_rows: list[tuple[int, str]]) -> tuple[np.ndarray, np.ndarray]:
-    """(token_id, text) rows → (text_by_id, canon_by_id) numpy lookup arrays.
+def build_vocab_arrays(vocab_rows: list[tuple[int, str]]) -> tuple[pa.Array, pa.Array]:
+    """(token_id, text) rows → (text_by_id, canon_by_id) Arrow lookup arrays.
 
     ``canon_by_id[t]`` is the mask classification of token t's word — the
-    per-vocab precompute that removes all per-row masking regex work.
+    per-vocab precompute that removes all per-row masking work.
     """
     size = max(t for t, _ in vocab_rows) + 1
-    text = np.empty(size, dtype=object)
-    canon = np.empty(size, dtype=object)
+    text = [""] * size
+    canon = [""] * size
     for tid, word in vocab_rows:
         text[tid] = word
         canon[tid] = mask_word(word)
-    return text, canon
+    return pa.array(text, pa.string()), pa.array(canon, pa.string())
+
+
+def _named_content_pattern(pattern: str, group_idx: int) -> str | None:
+    """Name EVERY capturing group (RE2 extract_regex requires all-named);
+    the ``group_idx``-th becomes ``content``. Returns None if too few groups."""
+    count = 0
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "(":
+            if pattern.startswith("(?P<", i):
+                count += 1  # already-named capturing group, keep as-is
+                out.append(ch)
+                i += 1
+                continue
+            if pattern.startswith("(?", i):
+                out.append(ch)  # non-capturing / flags group
+                i += 1
+                continue
+            count += 1
+            out.append("(?P<content>" if count == group_idx else f"(?P<g{count}>")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    if count < group_idx:
+        return None
+    return "".join(out) if "(?P<content>" in "".join(out) else None
+
+
+def _extract_content(
+    lines: pa.Array, pattern: str, group_idx: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized head extraction: (content object-array, matched bool-array).
+
+    RE2 via pc.extract_regex when possible; Python re fallback otherwise.
+    """
+    named = _named_content_pattern(pattern, group_idx)
+    if named is not None:
+        try:
+            matched_arr = pc.fill_null(pc.match_substring_regex(lines, named), False)
+            struct = pc.extract_regex(lines, named)
+            content = pc.if_else(
+                matched_arr, struct.field("content"), pa.scalar(None, pa.string())
+            )
+            return (
+                content.to_numpy(zero_copy_only=False),
+                matched_arr.to_numpy(zero_copy_only=False),
+            )
+        except pa.ArrowInvalid:
+            pass  # RE2-incompatible pattern → fallback
+    rx_key = ("re", pattern)
+    rx = _EXEC_CACHE.get(rx_key)
+    if rx is None:
+        rx = re.compile(pattern)
+        _EXEC_CACHE[rx_key] = rx
+    py_lines = lines.to_pylist()
+    content = np.empty(len(py_lines), dtype=object)
+    matched = np.zeros(len(py_lines), dtype=bool)
+    for i, line in enumerate(py_lines):
+        m = rx.match(line) if line is not None else None
+        if m is not None:
+            content[i] = m.group(group_idx)
+            matched[i] = True
+    return content, matched
 
 
 def parse_stage(
@@ -72,66 +138,89 @@ def parse_stage(
     vocab_rows: list[tuple[int, str]],
     source_heads: dict[str, tuple[str, int]],
 ) -> DataFrame:
-    """seq_df(doc_id, tokens, n_tok, source) → + (content, content_sig, head_matched).
-
-    ``source_heads``: source → (head_pattern, content_group). Broadcast once;
-    executors rebuild numpy lookups lazily and cache them per process.
-    """
+    """seq_df(doc_id, tokens, n_tok, source) → + (content, content_sig, head_matched)."""
     sc = spark.sparkContext
     b_vocab = sc.broadcast(vocab_rows)
     b_heads = sc.broadcast(source_heads)
 
     out_schema = T.StructType(list(seq_df.schema.fields) + PARSED_EXTRA_FIELDS)
+    col_names = [f.name for f in seq_df.schema.fields]
+    tokens_idx = col_names.index("tokens")
+    source_idx = col_names.index("source")
+    out_names = [f.name for f in out_schema.fields]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Lazy per-executor build of the vocab lookup arrays.
-        cache_key = "_lpcs_vocab_arrays"
-        holder = _HEAD_RX_CACHE  # reuse module dict as generic executor cache
-        arrays = holder.get(cache_key)
-        if arrays is None or holder.get("_lpcs_vocab_len") != len(b_vocab.value):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vkey = ("vocab", len(b_vocab.value))
+        arrays = _EXEC_CACHE.get(vkey)
+        if arrays is None:
             arrays = build_vocab_arrays(b_vocab.value)
-            holder[cache_key] = arrays
-            holder["_lpcs_vocab_len"] = len(b_vocab.value)
+            _EXEC_CACHE[vkey] = arrays
         text_by_id, canon_by_id = arrays
-        heads = {
-            src: (_compiled(pat), grp) for src, (pat, grp) in b_heads.value.items()
-        }
+        heads = b_heads.value
 
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            toks = pdf["tokens"].to_numpy()
-            # Flatten the whole batch: one np.take for words, one for masks.
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
-            offs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in toks]) if n else np.empty(0, np.int64)
-            words_flat = text_by_id.take(flat)
-            canon_flat = canon_by_id.take(flat)
+            tokens = batch.column(tokens_idx)
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            # large_list / list normalization
+            offs = np.asarray(tokens.offsets)
+            flat = tokens.values
+            # render: vocab take + list join — all C++
+            words = pc.take(text_by_id, flat)
+            word_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), words)
+            lines = pc.binary_join(word_lists, pa.scalar(" "))
 
-            sources = pdf["source"].to_numpy()
-            content = np.empty(n, dtype=object)
-            sig = np.empty(n, dtype=object)
+            # head extraction per source over that source's row subset
+            sources = batch.column(source_idx).to_numpy(zero_copy_only=False)
+            content = np.full(n, None, dtype=object)
             matched = np.zeros(n, dtype=bool)
-            for i in range(n):
-                w = words_flat[offs[i] : offs[i + 1]]
-                line = " ".join(w)
-                head = heads.get(sources[i])
+            for src in np.unique(sources):
+                head = heads.get(src)
                 if head is None:
                     continue
-                rx, grp = head
-                m = rx.match(line)
-                if m is None:
-                    continue
-                start_w = line.count(" ", 0, m.start(grp))
-                matched[i] = True
-                content[i] = m.group(grp)
-                sig[i] = " ".join(canon_flat[offs[i] + start_w : offs[i + 1]])
-            out = pdf.copy()
-            out["content"] = content
-            out["content_sig"] = sig
-            out["head_matched"] = matched
-            yield out
+                idx = np.nonzero(sources == src)[0]
+                sub = pc.take(lines, pa.array(idx, pa.int64()))
+                c_sub, m_sub = _extract_content(sub, head[0], head[1])
+                content[idx] = c_sub
+                matched[idx] = m_sub
 
-    return seq_df.mapInPandas(run, schema=out_schema)
+            # masked signature of the content word-suffix: pure offset math
+            canon_words = pc.take(canon_by_id, flat)
+            content_arr = pa.array(content, pa.string())
+            # content word count = spaces + 1 (0 when unmatched/empty)
+            spaces = (
+                pc.fill_null(pc.count_substring(content_arr, pattern=" "), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            nonempty = np.array(
+                [c is not None and c != "" for c in content], dtype=bool
+            )
+            cwc = np.where(nonempty, spaces + 1, 0).astype(np.int64)
+            starts = offs[1:].astype(np.int64) - cwc  # suffix start per row
+            new_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(cwc, out=new_offs[1:])
+            total = int(new_offs[-1])
+            # gather indices: for each row, starts[i] .. starts[i]+cwc[i]
+            gather = np.arange(total, dtype=np.int64) + np.repeat(
+                starts - new_offs[:-1], cwc
+            )
+            content_canon = pc.take(canon_words, pa.array(gather, pa.int64()))
+            sig_lists = pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int64()).cast(pa.int32()), content_canon
+            )
+            sigs = pc.binary_join(sig_lists, pa.scalar(" "))
+            # null-out signatures for unmatched rows (join gives "" there)
+            sigs = pc.if_else(pa.array(matched), sigs, pa.scalar(None, pa.string()))
+
+            out_cols = list(batch.columns) + [
+                content_arr,
+                sigs,
+                pa.array(matched),
+            ]
+            yield pa.RecordBatch.from_arrays(out_cols, names=out_names)
+
+    return seq_df.mapInArrow(run, schema=out_schema)

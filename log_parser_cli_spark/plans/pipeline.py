@@ -155,8 +155,10 @@ def route_stage(
     routed_path = os.path.join(out_dir, "routed")
     (
         enriched.select(
+            # content/content_sig are derivable (render+mask of tokens) — not
+            # carried through the fan-out shuffle; tokens ride untouched.
             "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
-            "template_star", "content", "variables", "n_vars",
+            "template_star", "variables", "n_vars",
         )
         .repartition(
             F.col("sink"), F.col("template_id"), F.pmod(F.hash("doc_id"), F.lit(salt_buckets))
@@ -168,27 +170,41 @@ def route_stage(
     return routed_path
 
 
-def aggregate_stage(spark: SparkSession, routed_path: str, out_dir: str) -> dict[str, str]:
+def aggregate_stage(spark: SparkSession, routed: DataFrame, out_dir: str) -> dict[str, str]:
     """Per-sink aggregates: template counts (A2) + n_tok histogram (A13).
 
-    Reads the routed table back (partition-pruned scans at consumer time);
-    both aggregates are map-side-combinable group-bys.
+    ``routed`` may be the in-flight enriched stream (no re-scan of the fan-out
+    files — the aggregates reduce the same rows the route stage shuffles) or a
+    read-back of the routed table (verification mode). Both aggregates are
+    map-side-combinable group-bys on tiny key cardinality.
     """
-    routed = spark.read.parquet(routed_path)
     counts_path = os.path.join(out_dir, "sink_counts")
     hist_path = os.path.join(out_dir, "ntok_hist")
-    (
-        routed.groupBy("source", "sink", "template_id", "template_star")
-        .agg(F.count("*").alias("n_sequences"), F.sum("n_tok").alias("sum_n_tok"))
-        .write.mode("overwrite")
-        .parquet(counts_path)
-    )
-    (
-        routed.groupBy("source", "sink", "template_id", "n_tok")
-        .agg(F.count("*").alias("cnt"))
-        .write.mode("overwrite")
-        .parquet(hist_path)
-    )
+
+    def write_counts():
+        (
+            routed.groupBy("source", "sink", "template_id", "template_star")
+            .agg(F.count("*").alias("n_sequences"), F.sum("n_tok").alias("sum_n_tok"))
+            .write.mode("overwrite")
+            .parquet(counts_path)
+        )
+
+    def write_hist():
+        (
+            routed.groupBy("source", "sink", "template_id", "n_tok")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(hist_path)
+        )
+
+    # Two independent reductions — submit concurrently (Spark's scheduler
+    # interleaves their stages; halves the serial action latency).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(write_counts), pool.submit(write_hist)]
+        for fut in futures:
+            fut.result()
     return {"sink_counts": counts_path, "ntok_hist": hist_path}
 
 
@@ -204,6 +220,36 @@ def _lineage(df: DataFrame, stage: str, run_id: str, out_dir: str, wall_ms: floa
     return sum(r["count"] for r in stats.collect())
 
 
+def run_replay(
+    spark: SparkSession,
+    fixture_dir: str,
+    out_dir: str,
+    mapping_df: DataFrame,
+    salt_buckets: int = 16,
+    seq_df: DataFrame | None = None,
+) -> int:
+    """Lean scoring pass: parse → enrich (frozen mapping) → route → aggregate.
+
+    The reference's replay phase (replay-matcher.ts:40-111): all counting runs
+    against an immutable template library. One wide action (the fan-out write)
+    materializes everything — parse streams straight into the salted shuffle,
+    no intermediate persist — then the per-sink aggregates reduce the routed
+    files. Returns the routed row count.
+    """
+    vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
+    if seq_df is None:
+        seq_df = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    parsed = parse_stage(spark, seq_df, vocab_rows, source_heads)
+    enriched = enrich_stage(parsed, mapping_df, sources_df)
+    routed_path = route_stage(enriched, out_dir, salt_buckets=salt_buckets)
+    routed = spark.read.parquet(routed_path)
+    aggregate_stage(spark, routed, out_dir)
+    counts = spark.read.parquet(os.path.join(out_dir, "sink_counts"))
+    from pyspark.sql.functions import sum as _sum
+
+    return int(counts.agg(_sum("n_sequences")).first()[0] or 0)
+
+
 def run_pipeline(
     spark: SparkSession,
     fixture_dir: str,
@@ -214,12 +260,17 @@ def run_pipeline(
     salt_buckets: int = 16,
     mapping_df: DataFrame | None = None,
     seq_df: DataFrame | None = None,
+    checkpoint_parse: bool = True,
 ) -> PipelineResult:
     """Full parse → enrich → route → aggregate job.
 
     ``mapping_df``: pass a frozen template mapping to run match-only replay
     (the reference's --match-only path); otherwise discovery runs first.
-    ``resume=True`` skips stages committed in the checkpoint manifest.
+    ``resume=True`` skips stages committed in the checkpoint manifest
+    (requires ``checkpoint_parse=True``, the default).
+    ``checkpoint_parse=False`` keeps the parsed stream in executor memory
+    (persist) instead of materializing to parquet — faster for one-shot runs,
+    but a crash then restarts from stage 1.
     """
     result = PipelineResult(out_dir=out_dir)
     manifest = Manifest(out_dir, run_id)
@@ -239,18 +290,26 @@ def run_pipeline(
         result.stages_run.append(name)
 
     # -- stage 1: parse (checkpointed so downstream stages & resume reuse it)
+    parsed_cached: DataFrame | None = None
+
     def do_parse():
+        nonlocal parsed_cached
         parsed = parse_stage(spark, seq_df, vocab_rows, source_heads)
-        parsed.write.mode("overwrite").parquet(parsed_path)
-        if lineage:
-            n = _lineage(spark.read.parquet(parsed_path), "parse", run_id, out_dir, 0)
+        if checkpoint_parse:
+            parsed.write.mode("overwrite").parquet(parsed_path)
+            parsed = spark.read.parquet(parsed_path)
         else:
-            n = spark.read.parquet(parsed_path).count()
+            parsed = parsed.persist()
+        parsed_cached = parsed
+        if lineage:
+            n = _lineage(parsed, "parse", run_id, out_dir, 0)
+        else:
+            n = parsed.count()
         result.counts["parsed"] = n
         return {"rows": n}
 
     stage("parse", do_parse)
-    parsed = spark.read.parquet(parsed_path)
+    parsed = parsed_cached if parsed_cached is not None else spark.read.parquet(parsed_path)
 
     # -- stage 2: discover (skipped in match-only mode)
     mapping_path = os.path.join(out_dir, "template_mapping")
@@ -267,8 +326,9 @@ def run_pipeline(
         mapping_df_local = mapping_df
 
     # -- stage 3: enrich + route
+    enriched = enrich_stage(parsed, mapping_df_local, sources_df)
+
     def do_route():
-        enriched = enrich_stage(parsed, mapping_df_local, sources_df)
         routed_path = route_stage(enriched, out_dir, salt_buckets=salt_buckets)
         if lineage:
             _lineage(spark.read.parquet(routed_path), "route", run_id, out_dir, 0)
@@ -277,10 +337,13 @@ def run_pipeline(
     stage("route", do_route)
     routed_path = os.path.join(out_dir, "routed")
 
-    # -- stage 4: aggregate
+    # -- stage 4: aggregate (from the enriched stream when it is still live;
+    #    from the routed files on resume)
     def do_aggregate():
-        paths = aggregate_stage(spark, routed_path, out_dir)
-        return paths
+        src = enriched if "route" in result.stages_run else spark.read.parquet(routed_path)
+        return aggregate_stage(spark, src, out_dir)
 
     stage("aggregate", do_aggregate)
+    if not checkpoint_parse and parsed_cached is not None:
+        parsed_cached.unpersist()
     return result

@@ -1,0 +1,80 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from log_parser_cli_spark.extras.dedup import (
+    exact_dup_stats,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark pipelines here"),
+        (5, "one two"),  # shorter than shingle+1
+        (6, "x"),  # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_stats(docs):
+    r = exact_dup_stats(docs, "doc_id", "text").first()
+    assert r.n_docs == 6
+    assert r.n_distinct == 5
+    assert r.n_dup_rows == 2
+    assert r.n_dup_groups == 1
+
+
+def test_jaccard_pairs_finds_near_and_exact_dups(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5).collect()}
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_equals_bruteforce_on_found_pairs(docs):
+    brute = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.5).collect()}
+    mh = {(r.a, r.b): r.jaccard for r in minhash_dedup(docs, "doc_id", "text", k=2, threshold=0.5).collect()}
+    # LSH may miss pairs (probabilistic recall) but never invents them, and
+    # scores agree exactly where found. Exact dups always share every band.
+    assert set(mh) <= set(brute)
+    assert (1, 3) in mh
+    for p, j in mh.items():
+        assert j == brute[p]
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signatures(docs, "doc_id", "text", k=2, n_hashes=16)
+    rows = sig.collect()
+    assert all(len(r.sig) == 16 for r in rows)
+    # identical docs → identical signatures
+    by_doc = {r.doc: list(r.sig) for r in rows}
+    assert by_doc[1] == by_doc[3]
+
+
+def test_simhash_hamming(spark, docs):
+    fp = simhash(docs, "doc_id", "text")
+    by_doc = {r.doc: r.simhash for r in fp.collect()}
+    assert by_doc[1] == by_doc[3]  # identical text → identical fingerprint
+    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(fp, max_hamming=10).collect()}
+    assert pairs.get((1, 3)) == 0
+    assert (1, 2) in pairs  # near-dup within small hamming distance
+    assert (1, 4) not in pairs
+
+
+def test_simhash_pairs_no_crossjoin(spark, docs):
+    """The candidate join must be an equi-join on chunk values, not a cartesian."""
+    fp = simhash(docs, "doc_id", "text")
+    plan = simhash_pairs(fp).sample(False, 1.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
