@@ -1,0 +1,130 @@
+"""Template-library maintenance ops: upsert, capped match store, orphan
+re-queue, conflict detection, report sinks.
+
+These are the reference's SQLite-backed library mutations re-expressed as
+DataFrame set operations over small dimension tables (template cardinality is
+tiny; the fact stream never flows through here):
+
+- ``merge_templates``  — K5: INSERT .. ON CONFLICT(id) DO UPDATE
+  (sqlite-template-manager.ts:90-110) as anti-join + union (MERGE INTO on an
+  Iceberg/Delta deployment).
+- ``append_matches_capped`` — K6+A9/W2: transactional match append with the
+  newest-N retention cap (sqlite-template-manager.ts:121-147, 308-331).
+- ``requeue_orphans`` — E2: rows owned by deleted templates leave the matched
+  set and re-enter the pending queue (pipeline.ts:561-612); E4 union.
+- ``exclude_seen`` — E3: left-anti seen-sample exclusion (manager.ts:112).
+- ``detect_conflicts`` — J3: a candidate template pattern run over the stored
+  samples of OTHER templates; hits grouped by owning template
+  (conflict-detector.ts:30-64). The sample side is bounded (≤cap/library) and
+  broadcast; the candidate is one pattern → rlike filter, no crossJoin blowup.
+- ``write_match_report`` / ``write_conflict_report`` / ``write_failure_report``
+  — K2/K3/K4 sinks (report-writer.ts:19-50, report-writers.ts:16-56).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def merge_templates(existing: DataFrame, updates: DataFrame, key: str = "template_id") -> DataFrame:
+    """Upsert semantics: rows in ``updates`` replace same-key rows in
+    ``existing``; everything else unions through (K5)."""
+    kept = existing.join(updates.select(key), on=key, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def append_matches_capped(
+    existing: DataFrame,
+    new_matches: DataFrame,
+    cap: int = 1000,
+    library_col: str = "source",
+    order_col: str = "line_no",
+) -> DataFrame:
+    """Append matches, dedupe, keep only the newest ``cap`` per library
+    (K6 + A9/W2: maxStoredMatches retention)."""
+    combined = existing.unionByName(new_matches).dropDuplicates([library_col, order_col])
+    w = Window.partitionBy(library_col).orderBy(F.desc(order_col))
+    return (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def requeue_orphans(
+    matches: DataFrame, deleted_template_ids: list[str], pending: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split matches into (kept, new_pending): rows owned by deleted templates
+    are re-queued (E2), unioned with the existing pending set (E4)."""
+    kept = matches.filter(~F.col("template_id").isin(deleted_template_ids))
+    orphans = matches.filter(F.col("template_id").isin(deleted_template_ids)).drop(
+        "template_id", "variables"
+    )
+    if pending is not None:
+        orphans = pending.unionByName(orphans, allowMissingColumns=True)
+    return kept, orphans
+
+
+def exclude_seen(candidates: DataFrame, seen: DataFrame, on: str = "content") -> DataFrame:
+    """Left-anti seen-sample exclusion (E3)."""
+    return candidates.join(seen.select(on).distinct(), on=on, how="left_anti")
+
+
+def _jvm_pattern(pattern: str) -> str:
+    """Python-dialect named groups → JVM dialect for rlike."""
+    return pattern.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+
+
+def detect_conflicts(
+    samples: DataFrame,
+    candidate_template_id: str,
+    candidate_pattern: str,
+    content_col: str = "content",
+) -> DataFrame:
+    """Stored samples of OTHER templates that the candidate pattern matches,
+    grouped by their owning template (J3). Returns
+    (template_id, n_conflicts, sample_contents array, capped)."""
+    jvm = _jvm_pattern(candidate_pattern)
+    hits = samples.filter(F.col("template_id") != candidate_template_id).filter(
+        F.col(content_col).rlike(jvm)
+    )
+    return (
+        hits.groupBy("template_id")
+        .agg(
+            F.count("*").alias("n_conflicts"),
+            F.slice(F.collect_list(content_col), 1, 5).alias("sample_contents"),
+        )
+        .withColumn("candidate_template_id", F.lit(candidate_template_id))
+    )
+
+
+def write_match_report(matched: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV match report (K2): raw_log, template_id, template_placeholder."""
+    cols = [c for c in ("raw_log", "template_id", "template_placeholder") if c in matched.columns]
+    matched.select(*cols).write.mode(mode).option("header", True).csv(path)
+
+
+def write_conflict_report(conflicts: DataFrame, out_dir: str) -> str:
+    """JSON conflict report (K3): {timestamp, totalConflicts, conflicts[]}."""
+    rows = [r.asDict(recursive=True) for r in conflicts.collect()]
+    payload = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "totalConflicts": int(sum(r["n_conflicts"] for r in rows)),
+        "conflicts": rows,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "conflicts.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return path
+
+
+def write_failure_report(failures: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Append-only failures sink (K4): one JSON object per line (jsonl)."""
+    failures.write.mode(mode).json(path)
