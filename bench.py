@@ -163,7 +163,8 @@ def main() -> int:
     scaling["factor"] = factor
 
     # --- headline queries (CPUS/2: peak-throughput level incl. sidecars) -----
-    spark = _new_spark(min(max(CPUS // 2, n_big), 16))
+    n_head = min(max(CPUS // 2, n_big), 16)
+    spark = _new_spark(n_head)
     _time_replay(spark, fixture_dir, mapping_dir)  # warm-up
     e2e_wall, n_rows = _time_replay(spark, fixture_dir, mapping_dir)
     e2e_wall2, _ = _time_replay(spark, fixture_dir, mapping_dir)
@@ -191,7 +192,22 @@ def main() -> int:
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "BASELINE.md"), "a") as f:
+    md_path = os.path.join(bench_dir, "BASELINE.md")
+    if not os.path.exists(md_path):
+        with open(md_path, "w") as f:
+            f.write(
+                "# BENCH/BASELINE — measured throughput + scaling evidence\n\n"
+                "Measured job: the replay scoring pass (parse -> enrich vs a frozen\n"
+                "template mapping -> salted fan-out route -> per-sink aggregates) on a\n"
+                "deterministic token corpus (datagen seed 42). Scaling criterion\n"
+                "(north_rule, N vs 4N executors, efficiency >= 0.8) evidenced in-sandbox\n"
+                "by the identical job at two local parallelism levels in clean JVMs\n"
+                "(warm-up excluded, best of 2). Levels sized so neither saturates the\n"
+                "32-vCPU box once Python Arrow sidecar workers are counted. tmpfs\n"
+                "scratch removes the single-local-disk sandbox artifact (a cluster's\n"
+                "distributed storage does not funnel through one spindle).\n"
+            )
+    with open(md_path, "a") as f:
         f.write(
             f"\n## bench @ rows={n_rows} (sf_dir={SF_NAME})\n\n"
             f"| config | wall (s) | seq/s |\n|---|---|---|\n"
@@ -201,7 +217,7 @@ def main() -> int:
                 if isinstance(v, dict)
             )
             + f"\nscaling efficiency local[{n_small}] → local[{n_big}]: **{scaling['efficiency']}** (gate ≥ 0.8)\n"
-            f"e2e at local[{CPUS}]: {e2e_wall:.2f}s = {seq_per_sec} seq/s\n"
+            f"e2e at local[{n_head}]: {e2e_wall:.2f}s = {seq_per_sec} seq/s\n"
             f"per-query sec: {json.dumps(queries)}\n"
         )
 

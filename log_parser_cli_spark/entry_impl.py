@@ -253,7 +253,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.similarity import cosine_pairs
 
     emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
-    return cosine_pairs(emb, threshold=0.95)
+    return cosine_pairs(emb, threshold=0.4)
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +617,7 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
                    round(list_cosine_similarity(x.embedding, y.embedding), 4) AS sim
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-            WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.95
+            WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.4
         """,
         "doc_token_stats": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
