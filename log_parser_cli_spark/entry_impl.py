@@ -200,6 +200,46 @@ def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+CONFLICT_CANDIDATE = ("apache#candidate", r"^workers (?P<v1>[A-Za-z0-9_/-]+) configured successfully$")
+
+
+def q_template_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: an overbroad candidate pattern vs stored samples of other templates."""
+    from log_parser_cli_spark.plans.library_ops import detect_conflicts
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet"))
+    w = Window.partitionBy("event_id").orderBy("line_no")
+    samples = (
+        gt.filter(F.col("head_matched"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select(F.col("event_id").alias("template_id"), "content")
+    )
+    cid, pattern = CONFLICT_CANDIDATE
+    return detect_conflicts(samples, cid, pattern).select(
+        "template_id", F.col("n_conflicts").cast("long").alias("n_conflicts")
+    )
+
+
+def q_pipeline_eval_vs_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end clustering-accuracy gate: the pipeline's template assignment
+    scored against ground truth must be PERFECT (GA/PA/purity all 1.0 — label
+    names differ, clustering metrics are label-invariant)."""
+    from log_parser_cli_spark.eval.metrics import accuracy_metrics
+
+    out, fx = pipeline_out_for(spark, sf_dir)
+    routed = spark.read.parquet(os.path.join(out, "routed")).select(
+        "doc_id", F.col("template_id").alias("pred_id")
+    )
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet")).select(
+        "doc_id", F.col("event_id").alias("gt_id")
+    )
+    m = accuracy_metrics(routed.join(gt, "doc_id"))
+    row = [tuple(round(m[k], 6) for k in _METRIC_COLS)]
+    return spark.createDataFrame(row, ", ".join(f"{c.lower()} double" for c in _METRIC_COLS))
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.dedup import exact_dup_stats
 
@@ -346,6 +386,8 @@ QUERIES = {
     "eval_metrics": q_eval_metrics,
     "alignment_occurrences": q_alignment_occurrences,
     "topk_per_source": q_topk_per_source,
+    "template_conflicts": q_template_conflicts,
+    "pipeline_eval_vs_gt": q_pipeline_eval_vs_gt,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_jaccard_docs": q_dedup_jaccard_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
@@ -567,6 +609,23 @@ def build_oracle_sql() -> dict[str, str]:
             FROM '{gt}' GROUP BY 1, 2
         """,
         "eval_metrics": _metrics_sql(labels),
+        "template_conflicts": f"""
+            WITH capped AS (
+              SELECT event_id AS template_id, content,
+                     row_number() OVER (PARTITION BY event_id ORDER BY line_no) AS rn
+              FROM '{gt}' WHERE head_matched
+            )
+            SELECT template_id, CAST(count(*) AS BIGINT) AS n_conflicts
+            FROM capped
+            WHERE rn <= 20 AND template_id <> '{CONFLICT_CANDIDATE[0]}'
+              AND regexp_matches(content, '{CONFLICT_CANDIDATE[1].replace("'", "''")}')
+            GROUP BY 1
+        """,
+        "pipeline_eval_vs_gt": """
+            SELECT 1.0 AS ga, 1.0 AS ga_precision, 1.0 AS ga_recall, 1.0 AS pa,
+                   1.0 AS predpure, 1.0 AS gtpure, 1.0 AS ga_friendly,
+                   1.0 AS pa_friendly, 1.0 AS purecoverage
+        """,
         "alignment_occurrences": f"""
             WITH numbered AS (
               SELECT row_number() OVER (PARTITION BY rendered ORDER BY line_no) AS occurrence_no

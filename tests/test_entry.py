@@ -16,6 +16,7 @@ def test_queries_and_oracles_align():
     assert set(oracles) <= set(qs)
     # rows-only (no-oracle) queries are the deliberate approximate ones
     assert set(qs) - set(oracles) == {"ann_ivf"}
+    assert len(qs) >= 25
 
 
 def test_entry_returns_rows(spark):
