@@ -90,3 +90,35 @@ def test_routed_partition_layout(pipeline_out):
     assert len(sinks) >= 5
     one = os.path.join(routed_dir, sorted(sinks)[0])
     assert any(d.startswith("template_id=") for d in os.listdir(one))
+
+
+def test_salted_fanout_splits_hot_template(spark, fixture_dir, pipeline_out, tmp_path):
+    """Skew handling: the hot (sink, template) partition is written by multiple
+    salted tasks, not serialized into one writer (north_rule skew clause).
+
+    At this test's row count AQE would coalesce the whole shuffle into one
+    partition (correct for tiny data); pin coalescing off to observe the salt
+    fan-out that large partitions get at scale.
+    """
+    import glob
+
+    from log_parser_cli_spark.plans.pipeline import route_stage
+
+    enriched = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    counts = spark.read.parquet(os.path.join(pipeline_out, "sink_counts"))
+    hot = counts.orderBy(F.desc("n_sequences")).first()
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = str(tmp_path / "salted")
+        route_stage(enriched, out, salt_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    from urllib.parse import quote
+
+    # Spark URL-encodes partition values in directory names ('#' → '%23')
+    tpl_dir = os.path.join(
+        out, "routed", f"sink={hot.sink}", f"template_id={quote(hot.template_id, safe='')}"
+    )
+    files = glob.glob(os.path.join(tpl_dir, "*.parquet"))
+    assert len(files) >= 2, f"hot template wrote {len(files)} file(s) — salting ineffective"
