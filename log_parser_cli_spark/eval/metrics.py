@@ -91,6 +91,16 @@ def collapse_pure_clusters(labels: DataFrame, pred_col: str = "pred_id", gt_col:
     )
 
 
+def macro_metrics(per_dataset: dict[str, dict[str, float]]) -> dict[str, float]:
+    """Macro averages across datasets (A8, run-eval.js:327-375): unweighted
+    mean of every metric key present in all datasets."""
+    if not per_dataset:
+        return {}
+    keys = set.intersection(*(set(m) for m in per_dataset.values()))
+    n = len(per_dataset)
+    return {k: sum(m[k] for m in per_dataset.values()) / n for k in sorted(keys)}
+
+
 def accuracy_metrics(labels: DataFrame, pred_col: str = "pred_id", gt_col: str = "gt_id") -> dict[str, float]:
     """All metrics over a labels DataFrame with (pred_col, gt_col)."""
     base = _ga_pa(labels, pred_col, gt_col)

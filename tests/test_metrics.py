@@ -41,3 +41,15 @@ def test_labels_fixture_metrics(spark, fixture_dir):
     assert 0 < m["GA"] < 1
     assert m["predPure"] < 1.0  # hdfs#merged is impure
     assert m["GA_friendly"] > m["GA"]  # pure oversplits get collapsed back
+
+
+def test_macro_metrics():
+    from log_parser_cli_spark.eval.metrics import macro_metrics
+
+    per_ds = {
+        "apache": {"GA": 1.0, "PA": 0.8},
+        "hdfs": {"GA": 0.5, "PA": 0.4},
+    }
+    m = macro_metrics(per_ds)
+    assert m == {"GA": 0.75, "PA": 0.6000000000000001}
+    assert macro_metrics({}) == {}
