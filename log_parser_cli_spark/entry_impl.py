@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from log_parser_cli_spark.datagen import ensure_fixtures, fixtures_for_sf_dir
 
 # Bump when pipeline logic changes so cached run dirs are invalidated.
-ENGINE_VERSION = 4
+ENGINE_VERSION = 5
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -29,10 +29,13 @@ def stride_sample(df: DataFrame, order_col: str, pool_size: int = 200) -> DataFr
     if n <= pool_size:
         return df
     step = n // pool_size
+    # (rn - 1) % step keeps row 1 and every step-th after it; the naive
+    # rn % step == 1 form returns ZERO rows when step == 1 (x % 1 is always 0),
+    # i.e. for the whole range pool_size < n < 2*pool_size.
     w = Window.orderBy(order_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") % step) == 1)
+        .filter(((F.col("_rn") - 1) % step) == 0)
         .limit(pool_size)
         .drop("_rn")
     )

@@ -97,12 +97,18 @@ def parse_template_structure(template: str) -> list[TemplateSegment]:
     return segments
 
 
-def extract_variables_from_template(template: str, log_line: str | None = None) -> ExtractedTemplate:
+def extract_variables_from_template(
+    template: str, log_line: str | None = None, auto_fix: bool = True
+) -> ExtractedTemplate:
     """Read embedded variable values ``v1..vN`` and verify reconstruction.
 
     Reconstruction invariant: concatenating segments (placeholders replaced by
     their embedded values) must equal ``log_line`` byte-for-byte. This is the
     reference's analog of our routed-row token-array equality check.
+
+    On a reconstruction mismatch, ``auto_fix=True`` retries once via the
+    duplication fixer before raising (the reference retries through
+    fixDuplicatedVariables, src/common/template-variable-extractor.ts:61-66).
     """
     segments = parse_template_structure(template)
     if not segments:
@@ -122,6 +128,10 @@ def extract_variables_from_template(template: str, log_line: str | None = None) 
         parts.append(seg.value)
     reconstructed = "".join(parts)
     if log_line is not None and reconstructed != log_line:
+        if auto_fix:
+            fixed, repaired = fix_duplicated_variables(template, log_line)
+            if fixed:
+                return extract_variables_from_template(repaired, log_line, auto_fix=False)
         raise ValueError(
             f"Template reconstruction does not match the log line. "
             f'Expected "{log_line}", got "{reconstructed}".'

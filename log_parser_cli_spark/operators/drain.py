@@ -61,31 +61,29 @@ class DrainTree:
         self.clusters: list[DrainCluster] = []
 
     def _leaf_for(self, words: list[str], create: bool) -> list[DrainCluster] | None:
-        node = self._root
-        keys: list[object] = [len(words)]
+        # Single descend loop: the branch cap must be checked against the
+        # ACTUAL sibling dict at each level (an unseen key in a full dict
+        # falls back to the shared WILDCARD child), so keys are resolved
+        # while walking, not precomputed against the root.
+        key_seq: list[object] = [len(words)]
         for i in range(min(self.depth - 1, len(words))):
             w = words[i]
-            key = WILDCARD if _is_wild(w) else w
-            # Drain's branch cap: overflowing distinct heads share a wildcard child.
-            siblings = node.get(keys[-1])
-            if isinstance(siblings, dict) and key not in siblings and len(siblings) >= self.max_children:
+            key_seq.append(WILDCARD if _is_wild(w) else w)
+        node = self._root
+        for j, key in enumerate(key_seq):
+            last = j == len(key_seq) - 1
+            # Drain's branch cap (token levels only, never the length level):
+            # overflowing distinct heads share a wildcard child.
+            if j > 0 and key not in node and len(node) >= self.max_children:
                 key = WILDCARD
-            keys.append(key)
-        for key in keys[:-1]:
-            nxt = node.get(key)
-            if nxt is None:
+            child = node.get(key)
+            if child is None:
                 if not create:
                     return None
-                nxt = {}
-                node[key] = nxt
-            node = nxt
-        leaf = node.get(keys[-1])
-        if leaf is None:
-            if not create:
-                return None
-            leaf = []
-            node[keys[-1]] = leaf
-        return leaf
+                child = [] if last else {}
+                node[key] = child
+            node = child
+        return node
 
     def _similarity(self, template: list[str], words: list[str]) -> float:
         if len(template) != len(words):

@@ -37,6 +37,11 @@ def compile_ordered(
     key = (source, version)
     compiled = _COMPILED_CACHE.get(key)
     if compiled is None:
+        # Keep only the latest template-set version per source: long-lived
+        # executors matching against evolving libraries must not accumulate
+        # every historical compiled set.
+        for stale in [k for k in _COMPILED_CACHE if k[0] == source]:
+            del _COMPILED_CACHE[stale]
         rows = [r for r in template_rows if r["source"] == source]
         rows.sort(key=lambda r: (r["created_at"], r["template_id"]))
         compiled = [(r["template_id"], re.compile(r["pattern"])) for r in rows]

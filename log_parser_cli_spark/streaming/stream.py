@@ -55,14 +55,19 @@ def stream_replay(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_stage(spark, batch_df, vocab_rows, source_heads)
         enriched = enrich_stage(parsed, mapping_df, sources_df)
+        # foreachBatch is at-least-once on micro-batch retry; writing each
+        # batch to its own batch_id-keyed subdirectory with overwrite makes
+        # the sink idempotent (a retried batch replaces its own output instead
+        # of duplicating rows). Readers of <out>/routed discover batch_id as
+        # an extra partition column.
         (
             enriched.select(
                 "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
                 "template_star", "variables", "n_vars",
             )
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("sink", "template_id")
-            .parquet(os.path.join(out_dir, "routed"))
+            .parquet(os.path.join(out_dir, "routed", f"batch_id={batch_id}"))
         )
 
     writer = (

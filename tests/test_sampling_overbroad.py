@@ -23,6 +23,16 @@ def test_stride_sample_is_deterministic_and_bounded(spark):
     assert diffs == {20}
 
 
+def test_stride_sample_step_one_range(spark):
+    """pool_size < n < 2*pool_size → step == 1; must return pool_size rows,
+    not zero (regression: rn % 1 == 1 is never true)."""
+    for n in (250, 399):
+        df = spark.range(n).withColumnRenamed("id", "line_no")
+        got = [r.line_no for r in stride_sample(df, "line_no", 200).collect()]
+        assert len(got) == 200
+        assert got == list(range(200))
+
+
 def test_k_center_prefers_diverse_lines():
     lines = ["error disk full on node a"] * 8 + [
         "user login from remote host",
