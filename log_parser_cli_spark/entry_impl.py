@@ -151,6 +151,86 @@ def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAD_DERIVE_POOL = 2000
+
+
+def _derive_heads_from_gt(gt_path: str) -> dict[str, str]:
+    """Pure-python head derivation from a ground-truth parquet (the oracle
+    twin of q_head_derive's driver-side loop — identical pools → identical
+    patterns)."""
+    import pyarrow.parquet as pq
+
+    from log_parser_cli_spark.operators.head_derive import derive_heads
+
+    tbl = pq.read_table(gt_path, columns=["source", "line_no", "rendered"])
+    rows = sorted(
+        zip(tbl["source"].to_pylist(), tbl["line_no"].to_pylist(), tbl["rendered"].to_pylist()),
+        key=lambda r: r[1],
+    )
+    per_source: dict[str, list[str]] = {}
+    for src, _ln, rendered in rows:
+        per_source.setdefault(src, []).append(rendered)
+    return {s: p for s, p in derive_heads(per_source, HEAD_DERIVE_POOL).items() if p}
+
+
+def q_head_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic head-pattern derivation + refine (manager.ts:83-186 minus
+    the LLM): stride pools per source → driver-side keep-best refine loop →
+    distributed coverage validation of the final pattern (P5)."""
+    from pyspark.sql import Window
+
+    from log_parser_cli_spark.operators.head_derive import (
+        refine_head_pattern,
+        to_jvm_pattern,
+    )
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet")).select(
+        "source", "line_no", "rendered"
+    )
+    counts = {r["source"]: r["n"] for r in gt.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # per-source stride pool in ONE pass: rn over a source-partitioned window,
+    # keep indices 0, step, …, (pool-1)*step — the distributed twin of
+    # head_derive.pool_lines
+    step_expr = F.lit(None).cast("long")
+    for src, n in counts.items():
+        step = n // HEAD_DERIVE_POOL if n > HEAD_DERIVE_POOL else 1
+        step_expr = F.when(F.col("source") == src, F.lit(step)).otherwise(step_expr)
+    w = Window.partitionBy("source").orderBy("line_no")
+    pool_rows = (
+        gt.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_step", step_expr)
+        .filter((F.col("_rn") % F.col("_step") == 0) & (F.col("_rn") / F.col("_step") < HEAD_DERIVE_POOL))
+        .select("source", "line_no", "rendered")
+        .collect()
+    )
+    pools: dict[str, list[tuple[int, str]]] = {}
+    for r in pool_rows:
+        pools.setdefault(r["source"], []).append((r["line_no"], r["rendered"]))
+    patterns: dict[str, str] = {}
+    for src in sorted(pools):
+        lines = [ln for _no, ln in sorted(pools[src])]
+        pat, _, _ = refine_head_pattern(lines)
+        if pat:
+            patterns[src] = pat
+    # distributed coverage of the derived patterns (literal per-source rlike →
+    # compiled once per branch, whole-stage codegen)
+    matched = F.lit(False)
+    pattern_col = F.lit(None).cast("string")
+    for src, pat in patterns.items():
+        matched = F.when(F.col("source") == src, F.col("rendered").rlike(to_jvm_pattern(pat))).otherwise(matched)
+        pattern_col = F.when(F.col("source") == src, F.lit(pat)).otherwise(pattern_col)
+    return (
+        gt.withColumn("_m", matched)
+        .withColumn("pattern", pattern_col)
+        .groupBy("source", "pattern")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("_m").cast("int")).cast("long").alias("n_matched"),
+        )
+    )
+
+
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.eval.metrics import accuracy_metrics
 
@@ -383,6 +463,7 @@ QUERIES = {
     "pipeline_variables": q_pipeline_variables,
     "match_regex_counts": q_match_regex_counts,
     "head_coverage": q_head_coverage,
+    "head_derive": q_head_derive,
     "eval_metrics": q_eval_metrics,
     "alignment_occurrences": q_alignment_occurrences,
     "topk_per_source": q_topk_per_source,
@@ -608,6 +689,15 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT source, head_matched, CAST(count(*) AS BIGINT) AS n_rows
             FROM '{gt}' GROUP BY 1, 2
         """,
+        "head_derive": " UNION ALL ".join(
+            f"""
+            SELECT source, '{pat.replace("'", "''")}' AS pattern,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN regexp_matches(rendered, '{pat.replace("'", "''")}') THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM '{gt}' WHERE source = '{src}' GROUP BY 1, 2
+            """
+            for src, pat in sorted(_derive_heads_from_gt(gt).items())
+        ),
         "eval_metrics": _metrics_sql(labels),
         "template_conflicts": f"""
             WITH capped AS (

@@ -1,0 +1,239 @@
+"""Deterministic head-pattern derivation + coverage-refine loop.
+
+The reference derives each library's head regex — one pattern that splits every
+line into head + ``(?<content>...)`` — by asking an LLM HeadAgent for
+candidates and iteratively refining: seed with ≤10 diverse samples, evaluate
+coverage, add ≤3 new diverse samples from the unmatched set each round, keep
+the best-coverage candidate, ≤20 rounds
+(/root/reference/src/core/head-pattern/manager.ts:83-186).
+
+This module reimplements that loop with a deterministic candidate generator in
+place of the LLM (everything else mirrors the reference's control flow):
+
+- ``propose_head_pattern``: generalize the common structural prefix of the
+  samples. Each line is split into words; the head is the maximal prefix of
+  positions that are either CONSTANT across samples or share a structural
+  "shape skeleton" (same arrangement of symbol characters, alphanumeric runs
+  generalized to char-class unions — the same generalization idea as the
+  reference's value-shape inference, regex-builder.ts:130-161). A non-constant
+  position whose merged shape is a bare lowercase word is treated as content
+  (lexical message text), ending the head. Noise robustness: the skeleton of
+  word 0 partitions the samples and the LARGEST group drives derivation, so a
+  minority of garbage lines cannot collapse the head to zero width.
+- ``refine_head_pattern``: the manager.ts keep-best loop — seed via k-center
+  diverse sampling (O5), score candidates by unmatched count over the pool,
+  accept only non-worse candidates, stop at full coverage, a repeated
+  candidate, or the round cap.
+- ``derive_head_for_source``: Spark wrapper — a deterministic stride pool
+  (≤pool_size rows) is collected per source, the refine loop runs driver-side
+  (discovery-time, like the reference's agent loop), and the FINAL pattern's
+  coverage is validated distributed via ``rlike`` (P5). At 10^12 rows the
+  full-scan coverage check runs once, not per round.
+
+Patterns are emitted in Python/RE2 dialect (``(?P<content>...)``);
+``to_jvm_pattern`` converts for Spark ``rlike``.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from log_parser_cli_spark.extras.sampling import k_center_select
+from log_parser_cli_spark.functions.templates import escape_regex_text
+
+MAX_REFINE_ROUNDS = 20  # manager.ts:84
+SEED_SAMPLES = 10  # manager.ts:45 (diverse-sampler picks)
+NEW_PICKS_PER_ROUND = 3  # manager.ts:112
+
+_ALNUM = re.compile(r"[A-Za-z0-9]+")
+
+
+def _runs(word: str) -> list[str]:
+    """Split a word into maximal alphanumeric runs and single symbol chars."""
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        m = _ALNUM.match(word, i)
+        if m:
+            out.append(m.group(0))
+            i = m.end()
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+def _skeleton(word: str) -> tuple:
+    """Structural skeleton: symbol chars verbatim, alnum runs as None slots."""
+    return tuple(None if r[0].isalnum() else r for r in _runs(word))
+
+
+def _seg_classes(seg: str) -> frozenset[str]:
+    classes = set()
+    for ch in seg:
+        if ch.isdigit():
+            classes.add("D")
+        elif ch.isupper():
+            classes.add("U")
+        else:
+            classes.add("L")
+    return frozenset(classes)
+
+
+_CLASS_REGEX = {
+    frozenset("D"): r"\d+",
+    frozenset("U"): "[A-Z]+",
+    frozenset("L"): "[a-z]+",
+    frozenset("UL"): "[A-Za-z]+",
+    frozenset("DL"): "[a-z0-9]+",
+    frozenset("DU"): "[A-Z0-9]+",
+    frozenset("DUL"): "[A-Za-z0-9]+",
+}
+
+
+def _merge_position(values: list[str]) -> str | None:
+    """Generalize one word position across samples → regex fragment or None.
+
+    Constant → escaped literal. Same skeleton → symbols verbatim (escaped),
+    each alnum slot mapped to the union char class of everything seen there.
+    A bare lowercase/mixed-alpha word (no symbols, single run containing
+    lowercase) is message text, not head structure → None. Mixed skeletons →
+    None (content boundary).
+    """
+    distinct = set(values)
+    if len(distinct) == 1:
+        return escape_regex_text(values[0])
+    skels = {_skeleton(v) for v in distinct}
+    if len(skels) != 1:
+        return None
+    skel = next(iter(skels))
+    n_slots = sum(1 for s in skel if s is None)
+    # per-slot class union
+    slot_classes: list[set[str]] = [set() for _ in range(n_slots)]
+    for v in distinct:
+        slot = 0
+        for r in _runs(v):
+            if r[0].isalnum():
+                slot_classes[slot] |= _seg_classes(r)
+                slot += 1
+    # bare lexical word guard: one slot, no symbols, lowercase present
+    if n_slots == 1 and len(skel) == 1 and "L" in slot_classes[0]:
+        return None
+    parts: list[str] = []
+    slot = 0
+    for s in skel:
+        if s is None:
+            parts.append(_CLASS_REGEX[frozenset(slot_classes[slot])])
+            slot += 1
+        else:
+            parts.append(escape_regex_text(s))
+    return "".join(parts)
+
+
+def propose_head_pattern(samples: list[str]) -> str | None:
+    """Deterministic HeadAgent stand-in: derive one head regex from samples.
+
+    Returns a Python/RE2-dialect pattern ``^<head> (?P<content>.*)$`` or None
+    when no head structure is derivable (boundary 0).
+    """
+    words_per = [s.split(" ") for s in samples if s]
+    if not words_per:
+        return None
+    # Noise robustness: group by word-0 skeleton, derive from the largest
+    # group (ties → lexicographically smallest skeleton repr, deterministic).
+    groups: Counter = Counter(_skeleton(w[0]) for w in words_per if w and w[0])
+    if not groups:
+        return None
+    best_skel = max(sorted(groups, key=repr), key=lambda k: groups[k])
+    group = [w for w in words_per if w and w[0] and _skeleton(w[0]) == best_skel]
+    max_head = min(len(w) for w in group) - 1  # content must be non-empty
+    head_parts: list[str] = []
+    for pos in range(max_head):
+        frag = _merge_position([w[pos] for w in group])
+        if frag is None:
+            break
+        head_parts.append(frag)
+    if not head_parts:
+        return None
+    return "^" + " ".join(head_parts) + " (?P<content>.*)$"
+
+
+def _unmatched(lines: list[str], rx: re.Pattern[str]) -> list[str]:
+    return [ln for ln in lines if rx.match(ln) is None]
+
+
+def refine_head_pattern(
+    lines: list[str],
+    max_rounds: int = MAX_REFINE_ROUNDS,
+    n_seed: int = SEED_SAMPLES,
+    n_new: int = NEW_PICKS_PER_ROUND,
+) -> tuple[str | None, int, list[int]]:
+    """Derive + keep-best refine over a line pool (manager.ts loop shape).
+
+    Returns (best_pattern, n_unmatched_in_pool, per-round unmatched history —
+    non-increasing by construction of keep-best).
+    """
+    if not lines:
+        return None, 0, []
+    seed = k_center_select(lines, k=n_seed)
+    accumulator = list(seed)
+    seen = set(seed)
+    tried: set[str] = set()
+
+    current = propose_head_pattern(accumulator)
+    if current is None:
+        return None, len(lines), []
+    tried.add(current)
+    best_pattern = current
+    best_unmatched = _unmatched(lines, re.compile(current))
+    history = [len(best_unmatched)]
+
+    for _ in range(max_rounds):
+        if not best_unmatched:
+            break
+        available = [ln for ln in best_unmatched if ln not in seen]
+        if not available:
+            break
+        picks = k_center_select(available, k=min(n_new, len(available)))
+        for ln in picks:
+            seen.add(ln)
+            accumulator.append(ln)
+        candidate = propose_head_pattern(accumulator)
+        if candidate is None or candidate in tried:
+            break  # deterministic generator: a repeat cannot improve
+        tried.add(candidate)
+        cand_unmatched = _unmatched(lines, re.compile(candidate))
+        # keep-best: accept only non-worse candidates (manager.ts:158)
+        if len(cand_unmatched) <= len(best_unmatched):
+            best_pattern, best_unmatched = candidate, cand_unmatched
+        history.append(len(best_unmatched))
+    return best_pattern, len(best_unmatched), history
+
+
+def to_jvm_pattern(pattern: str) -> str:
+    """Python-dialect named groups → JVM dialect for Spark ``rlike``."""
+    return pattern.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+
+
+def pool_lines(sorted_lines: list[str], pool_size: int) -> list[str]:
+    """Deterministic stride pool over an already-ordered line list — the pure
+    twin of extras.sampling.stride_sample (same indices: 0, step, 2*step …)."""
+    n = len(sorted_lines)
+    if n <= pool_size:
+        return list(sorted_lines)
+    step = n // pool_size
+    return [sorted_lines[i * step] for i in range(pool_size)]
+
+
+def derive_heads(
+    per_source_lines: dict[str, list[str]], pool_size: int = 2000
+) -> dict[str, str | None]:
+    """Run the derive+refine loop per source over stride pools (driver-side,
+    discovery-time). ``per_source_lines`` values must be in line order."""
+    out: dict[str, str | None] = {}
+    for source in sorted(per_source_lines):
+        pool = pool_lines(per_source_lines[source], pool_size)
+        pattern, _, _ = refine_head_pattern(pool)
+        out[source] = pattern
+    return out
