@@ -320,6 +320,46 @@ def q_pipeline_eval_vs_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(row, ", ".join(f"{c.lower()} double" for c in _METRIC_COLS))
 
 
+def q_mapping_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/missing#3: incremental library evolution across two batches.
+
+    Discovery runs on batch 1 only (even doc ordinals); batch 2 extends the
+    FROZEN batch-1 mapping (ids stable, novel signatures appended / mapped to
+    star-compatible clusters). Scoring the full corpus with the extended
+    mapping must reproduce the ground-truth clustering exactly — the oracle is
+    the same GT per-(source, template_star) count as pipeline_sink_counts.
+    """
+    from log_parser_cli_spark.operators.parse import parse_stage
+    from log_parser_cli_spark.plans.pipeline import (
+        UNPARSED,
+        discover_templates,
+        extend_mapping,
+        load_dims,
+    )
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    vocab_rows, source_heads, _ = load_dims(spark, fx)
+    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
+    parsed = parse_stage(spark, seq, vocab_rows, source_heads).persist()
+    try:
+        ordinal = F.substring("doc_id", 5, 9).cast("long")
+        mapping1 = discover_templates(spark, parsed.filter(ordinal % 2 == 0))
+        mapping2 = extend_mapping(spark, mapping1, parsed.filter(ordinal % 2 == 1))
+        return (
+            parsed.join(F.broadcast(mapping2), ["source", "content_sig"], "left")
+            .withColumn(
+                "template_star",
+                F.when(~F.col("head_matched"), F.lit("")).otherwise(
+                    F.coalesce("template_star", F.lit(UNPARSED))
+                ),
+            )
+            .groupBy("source", "template_star")
+            .agg(F.count("*").cast("long").alias("n_sequences"))
+        )
+    finally:
+        parsed.unpersist()
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.dedup import exact_dup_stats
 
@@ -469,6 +509,7 @@ QUERIES = {
     "topk_per_source": q_topk_per_source,
     "template_conflicts": q_template_conflicts,
     "pipeline_eval_vs_gt": q_pipeline_eval_vs_gt,
+    "mapping_evolution": q_mapping_evolution,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_jaccard_docs": q_dedup_jaccard_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
@@ -715,6 +756,10 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT 1.0 AS ga, 1.0 AS ga_precision, 1.0 AS ga_recall, 1.0 AS pa,
                    1.0 AS predpure, 1.0 AS gtpure, 1.0 AS ga_friendly,
                    1.0 AS pa_friendly, 1.0 AS purecoverage
+        """,
+        "mapping_evolution": f"""
+            SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
+            FROM '{gt}' GROUP BY 1, 2
         """,
         "alignment_occurrences": f"""
             WITH numbered AS (

@@ -104,6 +104,94 @@ def detect_conflicts(
     )
 
 
+def capped_samples(
+    matches: DataFrame, cap: int = 20, content_col: str = "content", order_col: str = "doc_id"
+) -> DataFrame:
+    """First-N stored samples per template (the bounded conflict-check side)."""
+    w = Window.partitionBy("template_id").orderBy(order_col)
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select("template_id", content_col)
+    )
+
+
+def integrate_template(
+    spark,
+    library: list[dict],
+    matches: DataFrame,
+    pending: DataFrame,
+    candidate: dict,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_iterations: int = 5,
+    samples_per_template: int = 20,
+    refine_fn=None,
+) -> dict:
+    """The reference's discovery state machine for ONE candidate template:
+    conflict check → delete conflicting templates → re-queue their orphans →
+    re-check, ≤``max_iterations`` rounds; on acceptance re-match pending
+    against just the new template (pipeline.ts:355-451, 463-525, 561-612).
+
+    ``library``: template dicts (template_id, source, pattern, created_at).
+    ``matches``: fact rows already owned by templates (… template_id).
+    ``pending``: rows not yet owned (same columns minus template_id/variables).
+    ``refine_fn(candidate, conflicts) -> candidate``: deterministic stand-in
+    for the reference's LLM RefineAgent; default keeps the candidate unchanged
+    and relies on conflict deletion (deleted templates release their samples,
+    so the re-check converges).
+
+    Returns {library, matches, pending, accepted, deleted_ids, iterations}.
+    Discovery-time driver loop over bounded data — the scored fact stream
+    never flows through here.
+    """
+    from log_parser_cli_spark.operators.matcher import match_templates
+
+    deleted_all: list[str] = []
+    for iteration in range(max_iterations):
+        samples = capped_samples(matches, samples_per_template, content_col, id_col)
+        conflicts = detect_conflicts(
+            samples, candidate["template_id"], candidate["pattern"], content_col
+        ).collect()
+        if not conflicts:
+            # finalize: persist candidate, re-match pending against it alone,
+            # move matched rows into the match store (dedup on the row id, A11)
+            library = library + [candidate]
+            rematch = match_templates(
+                spark, pending, [candidate], content_col=content_col
+            )
+            newly = rematch.filter(F.col("template_id").isNotNull())
+            pending = rematch.filter(F.col("template_id").isNull()).drop(
+                "template_id", "variables"
+            )
+            matches = matches.unionByName(
+                newly, allowMissingColumns=True
+            ).dropDuplicates([id_col])
+            return {
+                "library": library,
+                "matches": matches,
+                "pending": pending,
+                "accepted": True,
+                "deleted_ids": deleted_all,
+                "iterations": iteration + 1,
+            }
+        deleted = sorted({r["template_id"] for r in conflicts})
+        deleted_all.extend(deleted)
+        matches, pending = requeue_orphans(matches, deleted, pending)
+        library = [t for t in library if t["template_id"] not in deleted]
+        if refine_fn is not None:
+            candidate = refine_fn(candidate, conflicts)
+    # unresolved: candidate rejected, orphans stay pending (pipeline.ts:451-456)
+    return {
+        "library": library,
+        "matches": matches,
+        "pending": pending,
+        "accepted": False,
+        "deleted_ids": deleted_all,
+        "iterations": max_iterations,
+    }
+
+
 def write_match_report(matched: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV match report (K2): raw_log, template_id, template_placeholder."""
     cols = [c for c in ("raw_log", "template_id", "template_placeholder") if c in matched.columns]

@@ -60,17 +60,36 @@ def load_dims(spark: SparkSession, fixture_dir: str) -> tuple[list[tuple[int, st
     return vocab_rows, source_heads, sources_df
 
 
-def discover_templates(spark: SparkSession, parsed: DataFrame) -> DataFrame:
+def discover_templates(
+    spark: SparkSession, parsed: DataFrame, max_signatures_per_source: int = 10_000
+) -> DataFrame:
     """Distinct-signature aggregation + driver-side Drain → signature mapping.
 
     Returns the mapping DataFrame (source, content_sig, template_id,
     template_star) — the frozen "template library" equivalent. Deterministic:
     ids ordered by first-seen doc_id then signature (SURVEY.md §7.4).
+
+    Driver safety: the collected set is CAPPED at ``max_signatures_per_source``
+    per source (top-N by row count, deterministic tie-break) — if mask classes
+    flap on pathological vocab and distinct signatures explode, the driver
+    stays bounded and overflow signatures simply get no mapping row, routing
+    those rows to UNMATCHED/sink-failures (the reference's unresolved-samples
+    path, pipeline.ts:142).
     """
-    sig_stats = (
+    from pyspark.sql import Window
+
+    sig_stats_df = (
         parsed.filter(F.col("head_matched"))
         .groupBy("source", "content_sig")
         .agg(F.count("*").alias("n_rows"), F.min("doc_id").alias("first_doc"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_rows"), F.asc("first_doc"), F.asc("content_sig")
+    )
+    sig_stats = (
+        sig_stats_df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_signatures_per_source)
+        .drop("_rk")
         .collect()
     )
     per_source: dict[str, list[tuple[str, int, int]]] = {}
@@ -95,6 +114,110 @@ def discover_templates(spark: SparkSession, parsed: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         mapping_rows, "source string, content_sig string, template_id string, template_star string"
     )
+
+
+def extend_mapping(
+    spark: SparkSession,
+    frozen_mapping: DataFrame,
+    parsed_new: DataFrame,
+    max_signatures_per_source: int = 10_000,
+) -> DataFrame:
+    """Incremental library evolution: extend a frozen mapping with a new batch.
+
+    The reference persists ``nextTemplateNumber`` and, on later runs, matches
+    against the existing library first and appends templates only for what is
+    still unmatched, never renumbering or widening stored templates
+    (sqlite-template-manager.ts:79-85, pipeline.ts:109-121). Here:
+
+    - existing (source, content_sig) rows pass through BYTE-IDENTICAL,
+    - novel signatures that are star-compatible with an existing cluster
+      (same word count, every non-``<*>`` template word equal) map to that
+      existing template_id — the "pre-match against known templates" step,
+    - the remaining truly-novel signatures are Drain-clustered per source and
+      appended with dense ids ``source#N+1...`` (N = current max ordinal),
+      deterministic first-seen order.
+
+    Both driver-side sets (frozen distinct templates, capped novel signatures)
+    are small; the new batch is scanned once.
+    """
+    from pyspark.sql import Window
+
+    from log_parser_cli_spark.functions.masking import signature_to_star
+
+    novel_stats_df = (
+        parsed_new.filter(F.col("head_matched"))
+        .groupBy("source", "content_sig")
+        .agg(F.count("*").alias("n_rows"), F.min("doc_id").alias("first_doc"))
+        .join(frozen_mapping.select("source", "content_sig"), ["source", "content_sig"], "left_anti")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_rows"), F.asc("first_doc"), F.asc("content_sig")
+    )
+    novel = (
+        novel_stats_df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_signatures_per_source)
+        .drop("_rk")
+        .collect()
+    )
+    frozen_rows = frozen_mapping.collect()
+    if not novel:
+        return frozen_mapping
+
+    # existing clusters per source: (template_id, star words), max ordinal
+    clusters_by_source: dict[str, list[tuple[str, list[str]]]] = {}
+    max_ordinal: dict[str, int] = {}
+    seen_tid: set[str] = set()
+    for r in frozen_rows:
+        if r.template_id not in seen_tid:
+            seen_tid.add(r.template_id)
+            clusters_by_source.setdefault(r.source, []).append(
+                (r.template_id, r.template_star.split(" "))
+            )
+        try:
+            ordinal = int(r.template_id.rsplit("#", 1)[1])
+        except (IndexError, ValueError):
+            ordinal = 0
+        max_ordinal[r.source] = max(max_ordinal.get(r.source, 0), ordinal)
+
+    def star_compatible(star_words: list[str], sig_words: list[str]) -> bool:
+        return len(star_words) == len(sig_words) and all(
+            s == "<*>" or s == w for s, w in zip(star_words, sig_words)
+        )
+
+    new_rows: list[tuple[str, str, str, str]] = []
+    leftover: dict[str, list[tuple[str, int, str]]] = {}
+    for r in novel:
+        sig_star_words = signature_to_star(r.content_sig).split(" ")
+        target = None
+        for tid, star_words in clusters_by_source.get(r.source, []):
+            if star_compatible(star_words, sig_star_words):
+                target = (tid, " ".join(star_words))
+                break
+        if target is not None:
+            new_rows.append((r.source, r.content_sig, target[0], target[1]))
+        else:
+            leftover.setdefault(r.source, []).append(
+                (r.content_sig, int(r.n_rows), r.first_doc)
+            )
+    # truly-novel clusters: Drain per source, appended ids source#N+1...
+    for source in sorted(leftover):
+        # first-seen order = lexicographic doc-id rank (doc ids are
+        # zero-padded, so lexicographic == arrival order; arbitrary ids
+        # still give a deterministic insertion order)
+        by_doc = sorted(leftover[source], key=lambda t: (t[2], t[0]))
+        ranked = [(sig, n, rank) for rank, (sig, n, _doc) in enumerate(by_doc)]
+        clusters = cluster_signatures(ranked)
+        order = sorted(clusters, key=lambda c: (c.first_seen, c.template_words))
+        base = max_ordinal.get(source, 0)
+        for idx, cluster in enumerate(order, start=1):
+            tid = f"{source}#{base + idx}"
+            star = cluster.template_star
+            for sig in cluster.signatures:
+                new_rows.append((source, sig, tid, star))
+    appended = spark.createDataFrame(
+        new_rows, "source string, content_sig string, template_id string, template_star string"
+    )
+    return frozen_mapping.unionByName(appended)
 
 
 def enrich_stage(parsed: DataFrame, mapping: DataFrame, sources_df: DataFrame) -> DataFrame:
