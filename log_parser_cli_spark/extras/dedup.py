@@ -163,6 +163,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return fp
 
 
+def simhash_candidates(fp: DataFrame, chunks: int = 4) -> DataFrame:
+    """Raw SimHash banding candidates (a < b): docs sharing any exact chunk.
+    Feed these to a verifier (e.g. jaccard_pairs) — the cross-family LSH plan."""
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.expr(f"(simhash >> {c * width}) & {mask}").alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "ck.chunk", "ck.val")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+
+
 def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
     """Near-dup pairs by Hamming distance via pigeonhole banding.
 

@@ -3,18 +3,26 @@
 - ``cosine_topk``: exact brute-force top-k for a (small, broadcast) query set —
   the correctness baseline. The dot product is a JVM higher-order-function
   fold (F.aggregate over zip_with), no Python in the loop.
+- ``rhp_candidates``: random-hyperplane LSH (Charikar 2002) candidate pairs —
+  sign-bit signatures over deterministic md5-derived hyperplanes, banded
+  equi-join; the scale path feeding ``cosine_pairs``. Hyperplanes are plain
+  double literals, so a DuckDB oracle reproduces the exact same candidate set.
+- ``kmeans_centroids``: deterministic Lloyd iterations (first-k init, fixed
+  rounds) on a driver-side sample — real clustering for the IVF index.
 - ``ivf_topk``: IVF-style scale path — vectors are bucketed by nearest
   centroid; queries probe only ``nprobe`` buckets, pruning the scan by
-  ~n_centroids/nprobe. Centroids are taken deterministically from the data
-  (first ``n_centroids`` by id) — at production scale you'd plug k-means here;
-  the pruning/plan shape is what matters.
-- ``cosine_pairs``: embedding near-duplicate pairs (cos ≥ τ) for dedup.
+  ~n_centroids/nprobe.
+- ``cosine_pairs``: embedding near-duplicate pairs (cos ≥ τ); pass LSH
+  ``candidates`` for the scale plan (no corpus×corpus join).
+- ``topk_recall``: recall@k of an approximate ranking vs the exact one.
 
 All similarity math is computed in double and rounded, so a DuckDB oracle
-(list_cosine_similarity) reproduces values exactly at the rounded precision.
+reproduces values exactly at the rounded precision.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -25,6 +33,11 @@ NORM = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOU
 
 def _cosine_expr(a: str, b: str) -> str:
     return f"({DOT.format(a=a, b=b)}) / (({NORM.format(a=a)}) * ({NORM.format(a=b)}))"
+
+
+def _lit_array(vec: list[float]) -> str:
+    """SQL double-array literal (repr round-trips exactly in Spark + DuckDB)."""
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + ")"
 
 
 def cosine_topk(
@@ -63,41 +76,178 @@ def cosine_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic, oracle-portable)
+# ---------------------------------------------------------------------------
+
+
+def _md5_unit(tag: str) -> float:
+    """Deterministic pseudo-uniform value in [-1, 1) from md5 — portable to
+    any engine because the plane ends up inlined as a double literal."""
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+    return round(h / float(1 << 31) - 1.0, 9)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """n_planes deterministic hyperplanes for sign-bit signatures."""
+    return [[_md5_unit(f"hp|{j}|{d}") for d in range(dim)] for j in range(n_planes)]
+
+
+def rhp_candidates(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 60,
+    rows_per_band: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (a < b) by banded random-hyperplane signatures.
+
+    Each vector gets ``n_planes`` sign bits (dot with a literal hyperplane
+    ≥ 0); bits group into bands of ``rows_per_band``; vectors sharing any
+    band value become candidates via an equi-join on (band, value) — the
+    shuffles are keyed on band buckets, never corpus×corpus.
+    """
+    planes = hyperplanes(n_planes, dim)
+    n_bands = n_planes // rows_per_band
+    band_structs = []
+    for b in range(n_bands):
+        val_expr = " + ".join(
+            f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[b * rows_per_band + r]))}) >= 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(rows_per_band)
+        )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.expr(val_expr).alias("val"))
+        )
+    banded = embeddings.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc", "bk.band", "bk.val")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine ≥ threshold.
+
+    With ``candidates`` (columns a, b — e.g. from ``rhp_candidates``) only
+    those pairs are scored: the verify step of the LSH plan and the only
+    shape that survives 100 TB. Without, an all-pairs self-join (test-scale
+    baselines only).
+    """
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if candidates is not None:
+        pairs = (
+            candidates.select("a", "b")
+            .join(a, "a")
+            .join(b, "b")
+        )
+    else:
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("sim", F.round(F.expr(_cosine_expr("va", "vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a").cast("long"), F.col("b").cast("long"), "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with deterministic k-means centroids
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(vectors, k: int = 16, iters: int = 20) -> list[list[float]]:
+    """Deterministic Lloyd k-means on a driver-side sample (cosine geometry:
+    vectors and centroids are L2-normalized each round). Init = first k rows
+    (callers pass id-ordered samples); empty clusters keep their previous
+    centroid. Components round to 9 dp so centroid literals are portable."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [[round(float(v), 9) for v in row] for row in cents]
+
+
+def centroids_from_parquet(path: str, k: int = 16, iters: int = 20, sample: int = 4096) -> list[list[float]]:
+    """Shared centroid source for the Spark query AND the DuckDB oracle:
+    read the embeddings parquet (vec_id order), k-means the first ``sample``
+    vectors. Deterministic — both sides inline identical literals."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    rows = sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()), key=lambda r: r[0]
+    )[:sample]
+    return kmeans_centroids([r[1] for r in rows], k=k, iters=iters)
+
+
+def _sims_expr(vec_col: str, centroids: list[list[float]], round_to: int = 6) -> str:
+    """SQL expr: array of rounded cosines against every centroid literal."""
+    sims = ", ".join(
+        f"round({_cosine_expr(vec_col, _lit_array(c))}, {round_to})" for c in centroids
+    )
+    return f"array({sims})"
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k: probe only the ``nprobe`` closest
-    centroid buckets per query. Returns the same schema as cosine_topk."""
-    spark = embeddings.sparkSession
-    centroids = (
-        embeddings.orderBy(id_col).limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("cid"), F.col(vec_col).alias("cvec"))
-    )
-    b_cent = F.broadcast(centroids)
-
-    # assignment: every vector → nearest centroid (one scan, broadcast NL join)
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("csim"))
+    """IVF-bucketed approximate top-k: assign every vector to its nearest
+    k-means centroid, probe only the ``nprobe`` closest buckets per query.
+    Returns the same schema as cosine_topk. One corpus scan for assignment
+    (centroids are literals → whole-stage codegen, no join), then the scored
+    scan touches ~nprobe/n_centroids of the corpus."""
+    if centroids is None:
+        raise ValueError("pass deterministic centroids (kmeans_centroids)")
     assigned = (
-        embeddings.join(b_cent)
-        .withColumn("csim", F.expr(_cosine_expr(vec_col, "cvec")))
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, "cid")
+        embeddings.withColumn("_sims", F.expr(_sims_expr(vec_col, centroids)))
+        # first occurrence of the max → lowest centroid id wins ties
+        .withColumn("cid", F.expr("array_position(_sims, array_max(_sims)) - 1"))
+        .drop("_sims")
     )
-    # queries probe their nprobe nearest centroids
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"))
+    # per-query nprobe nearest centroids (tiny: |queries| × n_centroids)
+    probe_structs = [
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.expr(f"round({_cosine_expr('qvec', _lit_array(c))}, 6)").alias("qsim"),
+        )
+        for cid, c in enumerate(centroids)
+    ]
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
     probes = (
-        queries.join(b_cent)
-        .withColumn("qsim", F.expr(_cosine_expr("qvec", "cvec")))
+        queries.select("query_id", "qvec", F.explode(F.array(*probe_structs)).alias("p"))
+        .select("query_id", "qvec", "p.cid", "p.qsim")
         .withColumn("r", F.row_number().over(w_probe))
         .filter(F.col("r") <= nprobe)
         .select("query_id", "qvec", "cid")
@@ -120,22 +270,15 @@ def ivf_topk(
     )
 
 
-def cosine_pairs(
-    embeddings: DataFrame,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Near-duplicate pairs (a < b) with cosine ≥ threshold.
-
-    Test-scale all-pairs; at 100 TB, feed LSH/IVF candidates instead of the
-    full self-join (same downstream verify step).
-    """
-    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(F.expr(_cosine_expr("va", "vb")), 4))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("a").cast("long"), F.col("b").cast("long"), "sim")
+def topk_recall(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """recall@k of an approximate ranking vs the exact one (shared schema
+    query_id/neighbor_id): one row (k, n_queries, recall)."""
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    n_queries = exact.select("query_id").distinct().count()
+    return hits.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.round(F.count("*") / (k * n_queries), 6).alias("recall"),
     )

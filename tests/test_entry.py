@@ -14,8 +14,9 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 20
     # every oracle refers to an existing query
     assert set(oracles) <= set(qs)
-    # rows-only (no-oracle) queries are the deliberate approximate ones
-    assert set(qs) - set(oracles) == {"ann_ivf"}
+    # every query is oracle-checked (ann_ivf gained a full SQL twin once
+    # centroids became deterministic literals)
+    assert set(qs) == set(oracles)
     assert len(qs) >= 25
 
 

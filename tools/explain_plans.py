@@ -100,6 +100,51 @@ def main() -> int:
         )
     )
 
+    # embedding near-dup: LSH band candidates feed the exact verify — the
+    # corpus is NEVER self-joined unkeyed (no cartesian / nested-loop join)
+    from log_parser_cli_spark.extras.similarity import cosine_pairs, rhp_candidates
+
+    cands = rhp_candidates(emb, dim=64, n_planes=60, rows_per_band=3)
+    emb_dedup = cosine_pairs(emb, threshold=0.4, candidates=cands)
+    sections.append(
+        (
+            "embedding near-dup (hyperplane-LSH candidates → cosine verify, keyed joins only)",
+            plan_of(emb_dedup),
+            ["HashJoin"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
+    # cross-family jaccard: simhash chunk candidates → shingle-join verify
+    from log_parser_cli_spark.extras.dedup import jaccard_pairs, simhash_candidates
+
+    jac = jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.3,
+        candidates=simhash_candidates(simhash(docs, "doc_id", "text")),
+    )
+    sections.append(
+        (
+            "candidate-fed jaccard (simhash bands → shingle equi-join → verify)",
+            plan_of(jac),
+            ["HashJoin"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
+    # IVF: centroid literals → whole-stage-codegen assignment, probe join
+    from log_parser_cli_spark.extras.similarity import centroids_from_parquet, ivf_topk
+
+    cents = centroids_from_parquet("/root/testdata/sf0.01/embeddings.parquet", k=16)
+    ivf = ivf_topk(emb, [0, 1, 2, 3, 4], k=10, centroids=cents, nprobe=5)
+    sections.append(
+        (
+            "IVF top-k (literal-centroid assignment, bucket-keyed probe join)",
+            plan_of(ivf),
+            ["BroadcastHashJoin", "WindowGroupLimit"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
     failures: list[str] = []
     out = [
         "# PLANS — physical-plan evidence\n",
