@@ -181,7 +181,7 @@ def main() -> int:
     result = {
         "metric": "pipeline_seq_per_sec",
         "value": seq_per_sec,
-        "unit": "sec",
+        "unit": "seq/s",
         "queries": queries,
         "sf": SF,
         "bench_rows": n_rows,

@@ -247,6 +247,31 @@ _METRIC_COLS = [
 ]
 
 
+def q_eval_from_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end eval harness (run-eval.js:306-417): report FILES → FIFO
+    occurrence alignment → per-dataset GA/PA/purity/friendly + coverage +
+    __MACRO__ averages. Reports are materialized from the perturbed labels
+    fixture (the eval corpus analog) and read back from disk."""
+    from log_parser_cli_spark.eval.harness import eval_from_reports, write_eval_reports
+    from log_parser_cli_spark.datagen import GEN_VERSION
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet")).select(
+        "line_no", "source", "rendered", "event_id"
+    )
+    report_dir = os.path.join(
+        _runs_base(), f"{sf_name}-reports-v{ENGINE_VERSION}.{GEN_VERSION}"
+    )
+    if not os.path.exists(os.path.join(report_dir, "matches_csv", "_SUCCESS")):
+        labels = spark.read.parquet(os.path.join(fx, "labels.parquet"))
+        labeled = labels.join(gt, "line_no").select(
+            "line_no", "source", "rendered", "pred_id"
+        )
+        write_eval_reports(spark, labeled, report_dir)
+    return eval_from_reports(spark, report_dir, gt)
+
+
 def q_alignment_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/J5: FIFO occurrence numbering of duplicate rendered lines."""
     fx = fixtures_for_sf_dir(sf_dir)
@@ -540,6 +565,7 @@ QUERIES = {
     "head_coverage": q_head_coverage,
     "head_derive": q_head_derive,
     "eval_metrics": q_eval_metrics,
+    "eval_from_reports": q_eval_from_reports,
     "alignment_occurrences": q_alignment_occurrences,
     "topk_per_source": q_topk_per_source,
     "template_conflicts": q_template_conflicts,
@@ -769,9 +795,10 @@ exact_ranked AS (
 )"""
 
 
-def _metrics_sql(labels_path: str) -> str:
+def _metrics_sql(labels_rel: str) -> str:
+    """Metrics SQL over any labels relation (a quoted path or a subquery)."""
     return f"""
-WITH labels AS (SELECT pred_id, gt_id FROM '{labels_path}'),
+WITH labels AS (SELECT pred_id, gt_id FROM {labels_rel}),
 cells AS (SELECT pred_id, gt_id, CAST(count(*) AS DOUBLE) AS cnt FROM labels GROUP BY 1, 2),
 gt_sizes AS (SELECT gt_id, sum(cnt) AS sz FROM cells GROUP BY 1),
 pred_sizes AS (
@@ -827,6 +854,42 @@ SELECT
   round(fpa, 6) AS pa_friendly,
   round(pcov, 6) AS purecoverage
 FROM m
+"""
+
+
+def _eval_reports_sql(labels_path: str, gt_path: str, sources: list[str]) -> str:
+    """Per-dataset metrics + coverage + macro, recomputed straight from the
+    labels/gt parquet (the oracle twin of the report-file round-trip)."""
+
+    def rel(src: str) -> str:
+        return (
+            f"(SELECT l.pred_id, l.gt_id FROM '{labels_path}' l "
+            f"JOIN '{gt_path}' g USING (line_no) "
+            f"WHERE g.source = '{src}' AND l.pred_id <> '__UNPARSED__')"
+        )
+
+    per_source = " UNION ALL ".join(
+        f"""
+        SELECT '{src}' AS dataset, m.ga, m.ga_precision, m.ga_recall, m.pa,
+               m.predpure, m.gtpure, m.ga_friendly, m.pa_friendly, m.purecoverage,
+               round(
+                 (SELECT CAST(count(*) AS DOUBLE) FROM '{labels_path}' l
+                  JOIN '{gt_path}' g USING (line_no)
+                  WHERE g.source = '{src}' AND l.pred_id <> '__UNPARSED__')
+                 / (SELECT count(*) FROM '{gt_path}' WHERE source = '{src}'), 6) AS coverage
+        FROM ({_metrics_sql(rel(src))}) m
+        """
+        for src in sorted(sources)
+    )
+    return f"""
+WITH per_ds AS ({per_source})
+SELECT * FROM per_ds
+UNION ALL
+SELECT '__MACRO__', round(avg(ga), 6), round(avg(ga_precision), 6),
+       round(avg(ga_recall), 6), round(avg(pa), 6), round(avg(predpure), 6),
+       round(avg(gtpure), 6), round(avg(ga_friendly), 6), round(avg(pa_friendly), 6),
+       round(avg(purecoverage), 6), round(avg(coverage), 6)
+FROM per_ds
 """
 
 
@@ -900,7 +963,10 @@ def build_oracle_sql() -> dict[str, str]:
             """
             for src, pat in sorted(_derive_heads_from_gt(gt).items())
         ),
-        "eval_metrics": _metrics_sql(labels),
+        "eval_metrics": _metrics_sql(f"'{labels}'"),
+        "eval_from_reports": _eval_reports_sql(
+            labels, gt, ["apache", "hdfs", "android", "openssh", "proxifier", "healthapp"]
+        ),
         "template_conflicts": f"""
             WITH capped AS (
               SELECT event_id AS template_id, content,

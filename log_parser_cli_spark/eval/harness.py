@@ -1,0 +1,128 @@
+"""End-to-end eval harness: report files → aligned labels → metrics.
+
+The reference's eval entry point (benchmark/run-eval.js:306-417) does NOT
+score in-memory state — it ingests the pipeline's REPORT FILES (latest matches
+CSV + failures JSONL), aligns each predicted match to a ground-truth line by
+raw text with FIFO occurrence numbering for duplicates (run-eval.js:168-207,
+J5/W1), computes GA/PA/purity/friendly per dataset, and macro-averages
+(run-eval.js:327-375). This module is that flow over Spark:
+
+- ``write_eval_reports``: materialize the two report sinks from a labeled
+  run (matches CSV via K2, failures JSONL via K4).
+- ``eval_from_reports``: read the files back, occurrence-align to ground
+  truth, reduce each dataset's (pred, gt) contingency cells in ONE scan
+  (groupBy source+pred+gt, tiny output), compute every metric driver-side
+  from the cells, append the __MACRO__ unweighted-average row.
+
+Alignment note: within one raw-text bucket the gt event is constant (two
+different templates cannot render identical lines within a source), so FIFO
+pairing order cannot change the (pred, gt) multiset — occurrence numbering is
+kept for reference parity and for duplicate-count correctness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log_parser_cli_spark.eval.metrics import metrics_from_cells
+from log_parser_cli_spark.plans.library_ops import write_failure_report, write_match_report
+
+METRIC_COLS = [
+    "GA", "GA_precision", "GA_recall", "PA", "predPure", "gtPure",
+    "GA_friendly", "PA_friendly", "pureCoverage",
+]
+
+
+def write_eval_reports(spark: SparkSession, labeled: DataFrame, out_dir: str) -> dict[str, str]:
+    """Write the reference-shaped report sinks from a labeled run.
+
+    ``labeled``: (line_no, source, rendered, pred_id) where pred_id is
+    ``__UNPARSED__`` for failed lines. Matches go to a CSV with the
+    reference's column names (report-writer.ts:19-50); failures to JSONL
+    (report-writers.ts:39-56).
+    """
+    matches_path = os.path.join(out_dir, "matches_csv")
+    failures_path = os.path.join(out_dir, "failures_jsonl")
+    matched = labeled.filter(F.col("pred_id") != "__UNPARSED__").select(
+        F.col("rendered").alias("raw_log"), F.col("pred_id").alias("template_id"),
+        F.col("source").alias("template_placeholder"),  # carries the dataset id
+    )
+    write_match_report(matched, matches_path)
+    failures = labeled.filter(F.col("pred_id") == "__UNPARSED__").select(
+        F.col("line_no").alias("lineIndex"),
+        F.col("rendered").alias("rawLog"),
+        F.lit("head").alias("stage"),
+        F.lit("head pattern did not match").alias("reason"),
+        "source",
+    )
+    write_failure_report(failures, failures_path)
+    return {"matches": matches_path, "failures": failures_path}
+
+
+def eval_from_reports(spark: SparkSession, report_dir: str, gt: DataFrame) -> DataFrame:
+    """Ingest report files, align to ground truth, emit per-dataset + macro
+    metrics (one row per dataset, one ``__MACRO__`` row).
+
+    ``gt``: (line_no, source, rendered, event_id). Returns columns
+    (dataset, ga, …, purecoverage, coverage) — coverage is the matched
+    fraction per dataset (failures count against it), macro rows are
+    unweighted means (A8).
+    """
+    matches = spark.read.option("header", True).csv(os.path.join(report_dir, "matches_csv"))
+    # explicit schema: an all-matched run writes an EMPTY failures sink,
+    # which schema inference cannot read
+    failures = spark.read.schema(
+        "lineIndex long, rawLog string, stage string, reason string, source string"
+    ).json(os.path.join(report_dir, "failures_jsonl"))
+
+    # FIFO occurrence alignment (J5/W1): k-th report row for a raw line pairs
+    # with the k-th ground-truth line bearing that text
+    w_pred = Window.partitionBy("raw_log").orderBy("template_id")
+    pred = matches.withColumn("occ", F.row_number().over(w_pred)).select(
+        F.col("raw_log"), F.col("template_id").alias("pred_id"), "occ"
+    )
+    w_gt = Window.partitionBy("rendered").orderBy("line_no")
+    gt_occ = gt.withColumn("occ", F.row_number().over(w_gt))
+    aligned = pred.join(
+        gt_occ,
+        (pred["raw_log"] == gt_occ["rendered"]) & (pred["occ"] == gt_occ["occ"]),
+    ).select("source", "pred_id", F.col("event_id").alias("gt_id"))
+
+    # ONE scan → per-dataset contingency cells (cardinality ~ clusters²)
+    cells = (
+        aligned.groupBy("source", "pred_id", "gt_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    per_source_cells: dict[str, list[tuple[str, str, int]]] = {}
+    for r in cells:
+        per_source_cells.setdefault(r["source"], []).append(
+            (r["pred_id"], r["gt_id"], r["cnt"])
+        )
+    failed = {
+        r["source"]: r["n"]
+        for r in failures.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+
+    cols = METRIC_COLS + ["coverage"]
+    per_dataset: dict[str, dict[str, float]] = {}
+    for source in sorted(per_source_cells):
+        m = metrics_from_cells(per_source_cells[source])
+        total = sum(c for _p, _g, c in per_source_cells[source])
+        m["coverage"] = total / (total + failed.get(source, 0))
+        # round BEFORE macro so the macro is the mean of the published
+        # per-dataset numbers (what an oracle recomputing from the rows sees)
+        per_dataset[source] = {k: round(m[k], 6) for k in cols}
+    rows = [tuple([ds] + [m[k] for k in cols]) for ds, m in sorted(per_dataset.items())]
+    schema = "dataset string, " + ", ".join(f"{c.lower()} double" for c in cols)
+    per_ds_df = spark.createDataFrame(rows, schema)
+    # macro row via Spark's HALF_UP round (A8) — Python's round() is
+    # banker's rounding and can differ in the 6th decimal on exact halves
+    macro_df = per_ds_df.agg(
+        F.lit("__MACRO__").alias("dataset"),
+        *[F.round(F.avg(c.lower()), 6).alias(c.lower()) for c in cols],
+    )
+    return per_ds_df.unionByName(macro_df)

@@ -89,3 +89,24 @@ def compression_gain_stats(
         )
 
     return capped.groupBy("template_id").applyInPandas(stats, schema=RESULT_SCHEMA)
+
+
+def write_overbroad_report(
+    enriched: DataFrame, out_dir: str, top_n: int = 50, **stat_kwargs
+) -> str:
+    """Persisted top-N flagged-templates report (O3): overbroad templates
+    ordered by cluster size, written as JSON rows
+    (check-overbroad.js:241-243's sort-desc + slice, materialized)."""
+    import os
+
+    stats = compression_gain_stats(enriched, **stat_kwargs)
+    path = os.path.join(out_dir, "overbroad_report")
+    (
+        stats.filter(F.col("overbroad"))
+        .orderBy(F.desc("n_rows"), "template_id")
+        .limit(top_n)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return path

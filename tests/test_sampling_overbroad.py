@@ -79,6 +79,23 @@ def test_compression_gain_flags_overbroad(spark):
     assert got["t#1"].n_rows == 50
 
 
+def test_overbroad_report_persists_top_n(spark, tmp_path):
+    rows = []
+    for i in range(30):
+        rows.append((f"d{i:03d}", "t#ok", f"served block {i}", "served block <*>", [str(i)]))
+        rows.append((f"e{i:03d}", "t#bad", f"payload x-{i}-y-{i*7}-z", "payload <*>", [f"x-{i}-y-{i*7}-z"]))
+        rows.append((f"f{i:03d}", "t#bad2", f"blob q{i}w{i*3}e{i*9}r", "blob <*>", [f"q{i}w{i*3}e{i*9}r"]))
+    df = spark.createDataFrame(
+        rows, "doc_id string, template_id string, content string, template_star string, word_vars array<string>"
+    )
+    from log_parser_cli_spark.extras.overbroad import write_overbroad_report
+
+    path = write_overbroad_report(df, str(tmp_path), top_n=1)
+    report = spark.read.json(path).collect()
+    assert len(report) == 1  # top-N slice applied
+    assert report[0].overbroad and report[0].template_id in ("t#bad", "t#bad2")
+
+
 def test_fix_duplicated_variables():
     fixed, tpl = fix_duplicated_variables("User ⟪johnjohn⟫ in", "User john in")
     assert fixed and tpl == "User ⟪john⟫ in"
