@@ -237,3 +237,55 @@ def derive_heads(
         pattern, _, _ = refine_head_pattern(pool)
         out[source] = pattern
     return out
+
+
+def derive_heads_stage(
+    spark, seq_df, vocab_rows: list[tuple[int, str]], pool_size: int = 2000
+) -> dict[str, tuple[str, int]]:
+    """Pipeline stage: derive head patterns straight from the TOKEN table —
+    no head config needed (the reference's ensureHeadPattern step run before
+    parsing, manager.ts:31-213).
+
+    A deterministic stride pool per source (≤``pool_size`` rows) is collected,
+    rendered driver-side from the vocab, and fed to the refine loop. Returns
+    the ``source_heads`` dict parse_stage consumes: {source: (pattern, 1)} —
+    group 1 is the named ``(?P<content>…)`` group. Sources where derivation
+    fails are omitted (their rows become UNPARSED, the reference's
+    no-head-pattern failure path).
+
+    Scale: one window-ranked scan of (doc_id, tokens, source) projecting only
+    the pool rows to the driver; the full-corpus coverage cost is paid by the
+    parse stage itself, not here.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["source"]: r["n"]
+        for r in seq_df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    step_expr = F.lit(None).cast("long")
+    for src, n in counts.items():
+        step = n // pool_size if n > pool_size else 1
+        step_expr = F.when(F.col("source") == src, F.lit(step)).otherwise(step_expr)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pool_rows = (
+        seq_df.select("doc_id", "tokens", "source")
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_step", step_expr)
+        .filter((F.col("_rn") % F.col("_step") == 0) & (F.col("_rn") / F.col("_step") < pool_size))
+        .select("source", "doc_id", "tokens")
+        .collect()
+    )
+    vocab = {tid: word for tid, word in vocab_rows}
+    per_source: dict[str, list[tuple[str, str]]] = {}
+    for r in pool_rows:
+        line = " ".join(vocab.get(t, "") for t in r["tokens"])
+        per_source.setdefault(r["source"], []).append((r["doc_id"], line))
+    heads: dict[str, tuple[str, int]] = {}
+    for source in sorted(per_source):
+        lines = [ln for _d, ln in sorted(per_source[source])]
+        pattern, _, _ = refine_head_pattern(lines)
+        if pattern:
+            heads[source] = (pattern, 1)
+    return heads

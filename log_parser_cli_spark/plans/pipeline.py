@@ -384,6 +384,7 @@ def run_pipeline(
     mapping_df: DataFrame | None = None,
     seq_df: DataFrame | None = None,
     checkpoint_parse: bool = True,
+    derive_heads: bool = False,
 ) -> PipelineResult:
     """Full parse → enrich → route → aggregate job.
 
@@ -394,12 +395,19 @@ def run_pipeline(
     ``checkpoint_parse=False`` keeps the parsed stream in executor memory
     (persist) instead of materializing to parquet — faster for one-shot runs,
     but a crash then restarts from stage 1.
+    ``derive_heads=True`` ignores the configured head patterns and derives
+    them from the token table itself (the reference's ensureHeadPattern step,
+    manager.ts:31-213) before parsing.
     """
     result = PipelineResult(out_dir=out_dir)
     manifest = Manifest(out_dir, run_id)
     vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
     if seq_df is None:
         seq_df = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    if derive_heads:
+        from log_parser_cli_spark.operators.head_derive import derive_heads_stage
+
+        source_heads = derive_heads_stage(spark, seq_df, vocab_rows)
 
     parsed_path = os.path.join(out_dir, "parsed")
 

@@ -79,6 +79,67 @@ def stream_replay(
     return writer.start()
 
 
+def stream_with_discovery(
+    spark: SparkSession,
+    fixture_dir: str,
+    stream_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Streaming twin of the reference's EVOLVING state (T2): each micro-batch
+    extends the template library with its novel signatures before routing.
+
+    The library lives as a parquet dir under ``out_dir`` and is
+    read-modify-written per batch (foreachBatch runs serially on the driver).
+    Extension is IDEMPOTENT — re-extending with already-known signatures is a
+    no-op — so an at-least-once batch retry converges to the same library,
+    and the routed sink stays exactly-once via batch_id-keyed overwrite.
+    Batch 1 bootstraps via full discovery; later batches only append
+    (pipeline.ts pre-match-then-discover, sqlite-template-manager.ts:79-85).
+    """
+    from log_parser_cli_spark.plans.pipeline import discover_templates, extend_mapping
+
+    vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
+    seq_schema = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet")).schema
+    mapping_path = os.path.join(out_dir, "mapping")
+
+    stream = (
+        spark.readStream.schema(seq_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_stage(spark, batch_df, vocab_rows, source_heads)
+        if os.path.exists(os.path.join(mapping_path, "_SUCCESS")):
+            frozen = spark.read.parquet(mapping_path)
+            mapping = extend_mapping(spark, frozen, parsed)
+        else:
+            mapping = discover_templates(spark, parsed)
+        rows = mapping.collect()  # library is tiny; pin before overwriting its source
+        mapping = spark.createDataFrame(rows, mapping.schema)
+        mapping.write.mode("overwrite").parquet(mapping_path)
+        enriched = enrich_stage(parsed, mapping, sources_df)
+        (
+            enriched.select(
+                "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
+                "template_star", "variables", "n_vars",
+            )
+            .write.mode("overwrite")
+            .partitionBy("sink", "template_id")
+            .parquet(os.path.join(out_dir, "routed", f"batch_id={batch_id}"))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -87,5 +87,30 @@ def test_derived_heads_are_dropin_for_parse_stage(spark, fixture_dir):
     assert diff.count() == 0
 
 
+def test_pipeline_with_derived_heads_matches_configured(spark, fixture_dir, pipeline_out, tmp_path):
+    """Full pipeline with derive_heads=True (no head config consumed)
+    reproduces the configured-heads run's per-sink counts exactly."""
+    from log_parser_cli_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "derived_run")
+    run_pipeline(spark, fixture_dir, out, run_id="derived", derive_heads=True,
+                 checkpoint_parse=False)
+    mine = {
+        (r.source, r.template_star): r.n_sequences
+        for r in spark.read.parquet(os.path.join(out, "sink_counts"))
+        .groupBy("source", "template_star")
+        .agg(F.sum("n_sequences").alias("n_sequences"))
+        .collect()
+    }
+    ref = {
+        (r.source, r.template_star): r.n_sequences
+        for r in spark.read.parquet(os.path.join(pipeline_out, "sink_counts"))
+        .groupBy("source", "template_star")
+        .agg(F.sum("n_sequences").alias("n_sequences"))
+        .collect()
+    }
+    assert mine == ref
+
+
 def test_jvm_dialect_conversion():
     assert to_jvm_pattern(r"^x (?P<content>.*)$") == r"^x (?<content>.*)$"

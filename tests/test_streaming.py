@@ -33,6 +33,46 @@ def test_stream_replay_matches_batch(spark, fixture_dir, pipeline_out, tmp_path)
     assert spark.read.parquet(os.path.join(out, "routed")).count() == batch.count()
 
 
+def test_stream_with_discovery_evolves_library(spark, fixture_dir, pipeline_out, tmp_path):
+    """Two micro-batches with per-batch library evolution end with the same
+    per-(source, template_star) routed counts as the single-shot batch run,
+    and batch-1 template ids survive batch 2 unchanged."""
+    import pyspark.sql.functions as FN
+
+    from log_parser_cli_spark.streaming.stream import stream_with_discovery
+
+    seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    stream_dir = str(tmp_path / "stream_src")
+    ordinal = FN.substring("doc_id", 5, 9).cast("long")
+    seq.filter(ordinal % 2 == 0).coalesce(1).write.parquet(stream_dir)
+    seq.filter(ordinal % 2 == 1).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    out = str(tmp_path / "stream_out")
+    q = stream_with_discovery(spark, fixture_dir, stream_dir, out, available_now=True)
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(os.path.join(out, "routed"))
+    batch = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    s_counts = {
+        (r.source, r.template_star): r.n
+        for r in streamed.groupBy("source", "template_star").agg(FN.count("*").alias("n")).collect()
+    }
+    b_counts = {
+        (r.source, r.template_star): r.n
+        for r in batch.groupBy("source", "template_star").agg(FN.count("*").alias("n")).collect()
+    }
+    assert s_counts == b_counts
+    # library only grew: every routed template id appears in the final mapping
+    mapping = spark.read.parquet(os.path.join(out, "mapping"))
+    mapped_ids = {r.template_id for r in mapping.select("template_id").distinct().collect()}
+    routed_ids = {
+        r.template_id
+        for r in streamed.select("template_id").distinct().collect()
+        if not r.template_id.startswith("__")
+    }
+    assert routed_ids <= mapped_ids
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     rows = [
         ("2024-01-01 00:10:00", "click"),
