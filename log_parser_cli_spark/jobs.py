@@ -7,6 +7,14 @@ Ship the package and run:
         --fixtures data/fixtures/sf0.01 --out /tmp/run1 [--resume] \
         [--cores 32] [--run-id run-1]
 
+Run modes (the reference CLI's surfaces, semantic-log-parser.ts §3.1-3.3):
+  (default)        full run: parse → discover → route → aggregate
+  --match-only M   replay against a frozen mapping dir (no discovery)
+  --derive-heads   derive head patterns from the token table (no head config)
+  --eval-reports   after the run, score routed output vs ground truth and
+                   write the per-dataset + __MACRO__ metrics table
+  --overbroad      after the run, persist the top-50 overbroad-template report
+
 On a cluster, drop --cores and let the deploy mode size executors; the job
 code is identical (the session factory only pins local[N] when asked).
 """
@@ -14,6 +22,7 @@ code is identical (the session factory only pins local[N] when asked).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -27,12 +36,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lineage", action="store_true", help="write per-partition lineage metrics")
     ap.add_argument("--cores", type=int, default=None, help="local[N] override (omit on a cluster)")
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--match-only", metavar="MAPPING_DIR", default=None,
+                    help="replay against this frozen template-mapping parquet dir")
+    ap.add_argument("--derive-heads", action="store_true",
+                    help="derive head patterns from the data instead of config")
+    ap.add_argument("--eval-reports", action="store_true",
+                    help="score routed output vs ground truth; write metrics table")
+    ap.add_argument("--overbroad", action="store_true",
+                    help="persist the top-50 overbroad-template report")
     args = ap.parse_args(argv)
 
     from log_parser_cli_spark.plans.pipeline import run_pipeline
     from log_parser_cli_spark.session import get_spark
 
     spark = get_spark(app_name=f"lpcs-{args.run_id}", cores=args.cores)
+    mapping_df = spark.read.parquet(args.match_only) if args.match_only else None
     t0 = time.time()
     result = run_pipeline(
         spark,
@@ -42,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         lineage=args.lineage,
         salt_buckets=args.salt_buckets,
+        mapping_df=mapping_df,
+        derive_heads=args.derive_heads,
     )
     wall = time.time() - t0
 
@@ -53,6 +73,51 @@ def main(argv: list[str] | None = None) -> int:
     print(f"stages_run={result.stages_run} stages_skipped={result.stages_skipped}")
     print(f"rows={n_rows} templates={n_templates} wall_sec={wall:.2f} seq_per_sec={n_rows / wall:.0f}")
     counts.orderBy(F.desc("n_sequences")).show(12, truncate=60)
+
+    if args.eval_reports:
+        from log_parser_cli_spark.eval.harness import eval_from_reports, write_eval_reports
+
+        gt_path = os.path.join(args.fixtures, "ground_truth.parquet")
+        if os.path.exists(gt_path):
+            gt = spark.read.parquet(gt_path).select("line_no", "source", "rendered", "event_id")
+            routed = spark.read.parquet(f"{args.out}/routed")
+            labeled = (
+                routed.select("doc_id", F.col("template_id").alias("pred_id"))
+                .withColumn(
+                    "pred_id",
+                    F.when(F.col("pred_id").startswith("__"), F.lit("__UNPARSED__")).otherwise(
+                        F.col("pred_id")
+                    ),
+                )
+                .join(
+                    spark.read.parquet(gt_path).select("doc_id", "line_no", "source", "rendered"),
+                    "doc_id",
+                )
+            )
+            report_dir = os.path.join(args.out, "eval_reports")
+            write_eval_reports(spark, labeled, report_dir)
+            metrics = eval_from_reports(spark, report_dir, gt)
+            metrics.write.mode("overwrite").json(os.path.join(args.out, "eval_metrics"))
+            metrics.show(10, truncate=False)
+        else:
+            print("eval-reports skipped: no ground_truth.parquet in fixtures")
+
+    if args.overbroad:
+        from log_parser_cli_spark.extras.overbroad import write_overbroad_report
+        from log_parser_cli_spark.operators.parse import parse_stage
+        from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
+
+        vocab_rows, source_heads, sources_df = load_dims(spark, args.fixtures)
+        seq = spark.read.parquet(os.path.join(args.fixtures, "sequences.parquet"))
+        mapping = spark.read.parquet(
+            args.match_only if args.match_only else f"{args.out}/template_mapping"
+        )
+        enriched = enrich_stage(
+            parse_stage(spark, seq, vocab_rows, source_heads), mapping, sources_df
+        )
+        path = write_overbroad_report(enriched, args.out)
+        print(f"overbroad report: {path}")
+
     spark.stop()
     return 0
 
