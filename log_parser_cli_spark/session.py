@@ -50,6 +50,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
         )
         .config("spark.sql.files.openCostInBytes", "1m")
+        # dynamic-partition fan-out writes: keep ≤N files open per task
+        # instead of sorting every task's rows by partition key — the route
+        # stage pre-clusters rows via repartition(sink, template_id, salt),
+        # so tasks hold few distinct partitions and never hit the fallback
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
