@@ -106,3 +106,55 @@ def test_normalize_placeholder_erases_all_values(tc):
     norm = normalize_placeholder(template)
     assert "⟪" not in norm and "⟫" not in norm
     assert norm.count("<*>") == len(values)
+
+
+# ---------------------------------------------------------------------------
+# Head derivation properties: for ANY synthetic corpus whose lines share a
+# structured head prefix (timestamp-ish / level / pid shapes) followed by
+# lowercase message words, the derived pattern must cover every line and the
+# captured content must be exactly the post-head suffix.
+# ---------------------------------------------------------------------------
+
+_msg_word = st.sampled_from(
+    ["started", "stopped", "failed", "served", "evicted", "resolved", "ok", "retry"]
+)
+
+
+@st.composite
+def head_corpora(draw):
+    style = draw(st.integers(min_value=0, max_value=2))
+    n = draw(st.integers(min_value=4, max_value=30))
+    lines = []
+    for i in range(n):
+        h = draw(st.integers(min_value=0, max_value=23))
+        m = draw(st.integers(min_value=0, max_value=59))
+        pid = draw(st.integers(min_value=1, max_value=99999))
+        level = draw(st.sampled_from(["INFO", "WARN", "ERROR"]))
+        if style == 0:
+            head = f"{h:02d}:{m:02d}:00 {level} pid={pid}"
+        elif style == 1:
+            head = f"[{h:02d}:{m:02d}] {level}"
+        else:
+            head = f"2024-01-{(i % 27) + 1:02d} {level}"
+        words = draw(st.lists(_msg_word, min_size=1, max_size=5))
+        lines.append(head + " " + " ".join(words))
+    return lines
+
+
+@given(head_corpora())
+@settings(max_examples=60, deadline=None)
+def test_derived_head_covers_generated_corpus(lines):
+    from log_parser_cli_spark.operators.head_derive import refine_head_pattern
+
+    pattern, n_unmatched, history = refine_head_pattern(lines)
+    assert pattern is not None
+    assert n_unmatched == 0, (pattern, [l for l in lines if not re.match(pattern, l)][:3])
+    assert history == sorted(history, reverse=True)  # keep-best is monotone
+    rx = re.compile(pattern)
+    for line in lines:
+        m = rx.match(line)
+        assert m is not None
+        content = m.group("content")
+        # captured content is a word-suffix of the line
+        assert line.endswith(content)
+        assert content and content[0].islower()
