@@ -176,11 +176,11 @@ def _derive_heads_from_gt(gt_path: str) -> dict[str, str]:
 def q_head_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic head-pattern derivation + refine (manager.ts:83-186 minus
     the LLM): stride pools per source → driver-side keep-best refine loop →
-    distributed coverage validation of the final pattern (P5)."""
-    from pyspark.sql import Window
-
+    distributed coverage validation of the final pattern (P5). Sources whose
+    derivation fails are omitted (matching the oracle twin's filter)."""
     from log_parser_cli_spark.operators.head_derive import (
         refine_head_pattern,
+        stride_pool_collect,
         to_jvm_pattern,
     )
 
@@ -188,29 +188,10 @@ def q_head_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet")).select(
         "source", "line_no", "rendered"
     )
-    counts = {r["source"]: r["n"] for r in gt.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    # per-source stride pool in ONE pass: rn over a source-partitioned window,
-    # keep indices 0, step, …, (pool-1)*step — the distributed twin of
-    # head_derive.pool_lines
-    step_expr = F.lit(None).cast("long")
-    for src, n in counts.items():
-        step = n // HEAD_DERIVE_POOL if n > HEAD_DERIVE_POOL else 1
-        step_expr = F.when(F.col("source") == src, F.lit(step)).otherwise(step_expr)
-    w = Window.partitionBy("source").orderBy("line_no")
-    pool_rows = (
-        gt.withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_step", step_expr)
-        .filter((F.col("_rn") % F.col("_step") == 0) & (F.col("_rn") / F.col("_step") < HEAD_DERIVE_POOL))
-        .select("source", "line_no", "rendered")
-        .collect()
-    )
-    pools: dict[str, list[tuple[int, str]]] = {}
-    for r in pool_rows:
-        pools.setdefault(r["source"], []).append((r["line_no"], r["rendered"]))
+    pools = stride_pool_collect(gt, "source", "line_no", ["rendered"], HEAD_DERIVE_POOL)
     patterns: dict[str, str] = {}
     for src in sorted(pools):
-        lines = [ln for _no, ln in sorted(pools[src])]
-        pat, _, _ = refine_head_pattern(lines)
+        pat, _, _ = refine_head_pattern([ln for _no, ln in pools[src]])
         if pat:
             patterns[src] = pat
     # distributed coverage of the derived patterns (literal per-source rlike →
@@ -223,6 +204,7 @@ def q_head_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         gt.withColumn("_m", matched)
         .withColumn("pattern", pattern_col)
+        .filter(F.col("pattern").isNotNull())
         .groupBy("source", "pattern")
         .agg(
             F.count("*").cast("long").alias("n_lines"),

@@ -78,17 +78,24 @@ def eval_from_reports(spark: SparkSession, report_dir: str, gt: DataFrame) -> Da
         "lineIndex long, rawLog string, stage string, reason string, source string"
     ).json(os.path.join(report_dir, "failures_jsonl"))
 
-    # FIFO occurrence alignment (J5/W1): k-th report row for a raw line pairs
-    # with the k-th ground-truth line bearing that text
-    w_pred = Window.partitionBy("raw_log").orderBy("template_id")
+    # FIFO occurrence alignment (J5/W1): the k-th report row for a raw line
+    # pairs with the k-th ground-truth line bearing that text, WITHIN the
+    # dataset — identical rendered text in two sources must never cross-pair
+    # (the report's template_placeholder column carries the dataset id)
+    w_pred = Window.partitionBy("template_placeholder", "raw_log").orderBy("template_id")
     pred = matches.withColumn("occ", F.row_number().over(w_pred)).select(
-        F.col("raw_log"), F.col("template_id").alias("pred_id"), "occ"
+        F.col("template_placeholder").alias("p_source"),
+        F.col("raw_log"),
+        F.col("template_id").alias("pred_id"),
+        "occ",
     )
-    w_gt = Window.partitionBy("rendered").orderBy("line_no")
+    w_gt = Window.partitionBy("source", "rendered").orderBy("line_no")
     gt_occ = gt.withColumn("occ", F.row_number().over(w_gt))
     aligned = pred.join(
         gt_occ,
-        (pred["raw_log"] == gt_occ["rendered"]) & (pred["occ"] == gt_occ["occ"]),
+        (pred["p_source"] == gt_occ["source"])
+        & (pred["raw_log"] == gt_occ["rendered"])
+        & (pred["occ"] == gt_occ["occ"]),
     ).select("source", "pred_id", F.col("event_id").alias("gt_id"))
 
     # ONE scan → per-dataset contingency cells (cardinality ~ clusters²)
@@ -109,18 +116,24 @@ def eval_from_reports(spark: SparkSession, report_dir: str, gt: DataFrame) -> Da
 
     cols = METRIC_COLS + ["coverage"]
     per_dataset: dict[str, dict[str, float]] = {}
-    for source in sorted(per_source_cells):
-        m = metrics_from_cells(per_source_cells[source])
-        total = sum(c for _p, _g, c in per_source_cells[source])
-        m["coverage"] = total / (total + failed.get(source, 0))
-        # round BEFORE macro so the macro is the mean of the published
-        # per-dataset numbers (what an oracle recomputing from the rows sees)
-        per_dataset[source] = {k: round(m[k], 6) for k in cols}
+    # union with failure-only sources: a dataset where every line failed must
+    # surface with coverage 0, not vanish from the table (and the macro)
+    for source in sorted(set(per_source_cells) | set(failed)):
+        cells_src = per_source_cells.get(source, [])
+        m = metrics_from_cells(cells_src)
+        total = sum(c for _p, _g, c in cells_src)
+        m["coverage"] = total / (total + failed.get(source, 0)) if (total or failed.get(source)) else 0.0
+        per_dataset[source] = m
     rows = [tuple([ds] + [m[k] for k in cols]) for ds, m in sorted(per_dataset.items())]
     schema = "dataset string, " + ", ".join(f"{c.lower()} double" for c in cols)
-    per_ds_df = spark.createDataFrame(rows, schema)
-    # macro row via Spark's HALF_UP round (A8) — Python's round() is
-    # banker's rounding and can differ in the 6th decimal on exact halves
+    raw_df = spark.createDataFrame(rows, schema)
+    # ALL published rounding happens with Spark's HALF_UP round (matching
+    # SQL engines); Python's round() is banker's rounding and can differ in
+    # the 6th decimal on exact halves. Macro (A8) averages the published
+    # per-dataset values.
+    per_ds_df = raw_df.select(
+        "dataset", *[F.round(c.lower(), 6).alias(c.lower()) for c in cols]
+    )
     macro_df = per_ds_df.agg(
         F.lit("__MACRO__").alias("dataset"),
         *[F.round(F.avg(c.lower()), 6).alias(c.lower()) for c in cols],

@@ -62,15 +62,26 @@ def jaccard_pairs(
     """
     sh = shingles(df, id_col, text_col, k).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("a", "b"), ["a", "b"], "left_semi")
+        # restrict the join INPUTS to candidate pairs before any pair is
+        # enumerated — a post-hoc semi-filter would still pay the quadratic
+        # shingle self-join inside hot duplicate groups. Work here is
+        # |candidates| × shingles-per-doc, all keyed equi-joins.
+        inter = (
+            candidates.select("a", "b")
+            .join(sh.withColumnRenamed("doc", "a"), "a")
+            .join(sh.withColumnRenamed("doc", "b"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+            .agg(F.count("*").alias("inter"))
+        )
     pairs = (
         inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sz_b"), "b")

@@ -91,6 +91,34 @@ def compression_gain_stats(
     return capped.groupBy("template_id").applyInPandas(stats, schema=RESULT_SCHEMA)
 
 
+def routed_for_overbroad(routed: DataFrame) -> DataFrame:
+    """Reconstruct (content, word_vars) from ROUTED rows — no re-parse.
+
+    Matched rows carry (template_star, variables, n_vars); the original
+    content is the star with every ``<*>``-bearing word replaced by the next
+    variable word (exact at word level: a star word differs from the content
+    word iff it contains ``<*>``). Lets the overbroad report run off the
+    fan-out output instead of re-rendering the token table.
+    """
+    matched = routed.filter(~F.col("template_id").startswith("__"))
+    return matched.withColumn(
+        "word_vars",
+        F.expr("transform(sequence(1, n_vars), i -> variables[concat('v', i)])"),
+    ).withColumn(
+        "content",
+        F.expr(
+            "CASE WHEN template_star = '' THEN '' ELSE array_join(aggregate("
+            " split(template_star, ' '),"
+            " named_struct('k', 0, 'out', CAST(array() AS array<string>)),"
+            " (acc, w) -> IF(instr(w, '<*>') > 0,"
+            "   named_struct('k', acc.k + 1,"
+            "     'out', concat(acc.out, array(element_at(word_vars, acc.k + 1)))),"
+            "   named_struct('k', acc.k, 'out', concat(acc.out, array(w)))),"
+            " acc -> acc.out), ' ') END"
+        ),
+    )
+
+
 def write_overbroad_report(
     enriched: DataFrame, out_dir: str, top_n: int = 50, **stat_kwargs
 ) -> str:

@@ -103,19 +103,16 @@ def main(argv: list[str] | None = None) -> int:
             print("eval-reports skipped: no ground_truth.parquet in fixtures")
 
     if args.overbroad:
-        from log_parser_cli_spark.extras.overbroad import write_overbroad_report
-        from log_parser_cli_spark.operators.parse import parse_stage
-        from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
+        from log_parser_cli_spark.extras.overbroad import (
+            routed_for_overbroad,
+            write_overbroad_report,
+        )
 
-        vocab_rows, source_heads, sources_df = load_dims(spark, args.fixtures)
-        seq = spark.read.parquet(os.path.join(args.fixtures, "sequences.parquet"))
-        mapping = spark.read.parquet(
-            args.match_only if args.match_only else f"{args.out}/template_mapping"
-        )
-        enriched = enrich_stage(
-            parse_stage(spark, seq, vocab_rows, source_heads), mapping, sources_df
-        )
-        path = write_overbroad_report(enriched, args.out)
+        # feed the stats from the already-materialized routed output —
+        # (content, word_vars) reconstruct from (template_star, variables),
+        # so the token table is never re-parsed for this report
+        routed = spark.read.parquet(f"{args.out}/routed")
+        path = write_overbroad_report(routed_for_overbroad(routed), args.out)
         print(f"overbroad report: {path}")
 
     spark.stop()

@@ -239,6 +239,43 @@ def derive_heads(
     return out
 
 
+def stride_pool_collect(
+    df, group_col: str, order_col: str, value_cols: list[str], pool_size: int = 2000
+) -> dict[str, list[tuple]]:
+    """Collect a deterministic per-group stride pool in ONE pass.
+
+    The distributed twin of ``pool_lines``: per group, rows at rank indices
+    0, step, …, (pool_size-1)*step ordered by ``order_col`` (step = n//pool
+    when n > pool, else every row). Returns {group: [(order, *values), …]}
+    sorted by order. Shared by every derive surface so the pure-Python oracle
+    twin and the Spark queries can never drift apart.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n")).collect()
+    }
+    step_expr = F.lit(None).cast("long")
+    for g, n in counts.items():
+        step = n // pool_size if n > pool_size else 1
+        step_expr = F.when(F.col(group_col) == g, F.lit(step)).otherwise(step_expr)
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    rows = (
+        df.select(group_col, order_col, *value_cols)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_step", step_expr)
+        .filter((F.col("_rn") % F.col("_step") == 0) & (F.col("_rn") / F.col("_step") < pool_size))
+        .select(group_col, order_col, *value_cols)
+        .collect()
+    )
+    pools: dict[str, list[tuple]] = {}
+    for r in rows:
+        pools.setdefault(r[group_col], []).append(tuple(r[c] for c in [order_col, *value_cols]))
+    return {g: sorted(v) for g, v in pools.items()}
+
+
 def derive_heads_stage(
     spark, seq_df, vocab_rows: list[tuple[int, str]], pool_size: int = 2000
 ) -> dict[str, tuple[str, int]]:
@@ -257,34 +294,11 @@ def derive_heads_stage(
     the pool rows to the driver; the full-corpus coverage cost is paid by the
     parse stage itself, not here.
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    counts = {
-        r["source"]: r["n"]
-        for r in seq_df.groupBy("source").agg(F.count("*").alias("n")).collect()
-    }
-    step_expr = F.lit(None).cast("long")
-    for src, n in counts.items():
-        step = n // pool_size if n > pool_size else 1
-        step_expr = F.when(F.col("source") == src, F.lit(step)).otherwise(step_expr)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    pool_rows = (
-        seq_df.select("doc_id", "tokens", "source")
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_step", step_expr)
-        .filter((F.col("_rn") % F.col("_step") == 0) & (F.col("_rn") / F.col("_step") < pool_size))
-        .select("source", "doc_id", "tokens")
-        .collect()
-    )
+    pools = stride_pool_collect(seq_df, "source", "doc_id", ["tokens"], pool_size)
     vocab = {tid: word for tid, word in vocab_rows}
-    per_source: dict[str, list[tuple[str, str]]] = {}
-    for r in pool_rows:
-        line = " ".join(vocab.get(t, "") for t in r["tokens"])
-        per_source.setdefault(r["source"], []).append((r["doc_id"], line))
     heads: dict[str, tuple[str, int]] = {}
-    for source in sorted(per_source):
-        lines = [ln for _d, ln in sorted(per_source[source])]
+    for source in sorted(pools):
+        lines = [" ".join(vocab.get(t, "") for t in tokens) for _doc, tokens in pools[source]]
         pattern, _, _ = refine_head_pattern(lines)
         if pattern:
             heads[source] = (pattern, 1)

@@ -147,12 +147,14 @@ def match_templates(
             contents = pa.Array.from_pandas(pdf[content_col], type=pa.string())
             valid = pc.is_valid(contents).to_numpy(zero_copy_only=False)
             sources = pdf[source_col].to_numpy()
-            for src in np.unique(sources):
+            # null sources stay unmatched (np.unique cannot sort None vs str)
+            src_notnull = np.array([s is not None for s in sources], dtype=bool)
+            for src in np.unique(sources[src_notnull]):
                 compiled = compile_ordered(rows, src, version)
                 if not compiled:
                     continue
                 # still-unmatched candidate positions for this source
-                remaining = np.nonzero((sources == src) & valid)[0]
+                remaining = np.nonzero((sources == src) & valid & src_notnull)[0]
                 for tpl in compiled:
                     if remaining.size == 0:
                         break

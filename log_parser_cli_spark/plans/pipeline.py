@@ -92,18 +92,16 @@ def discover_templates(
         .drop("_rk")
         .collect()
     )
-    per_source: dict[str, list[tuple[str, int, int]]] = {}
-    first_docs: dict[str, dict[str, str]] = {}
+    per_source: dict[str, list[tuple[str, int, str]]] = {}
     for r in sig_stats:
-        # order key: first_doc is zero-padded ⇒ lexicographic == numeric order
-        per_source.setdefault(r.source, []).append((r.content_sig, int(r.n_rows), 0))
-        first_docs.setdefault(r.source, {})[r.content_sig] = r.first_doc
+        per_source.setdefault(r.source, []).append((r.content_sig, int(r.n_rows), r.first_doc))
     mapping_rows = []
     for source in sorted(per_source):
-        sig_rows = [
-            (sig, n, int(first_docs[source][sig].split("-")[-1]))
-            for sig, n, _ in per_source[source]
-        ]
+        # first-seen order = lexicographic doc-id rank (zero-padded ids ⇒
+        # arrival order; arbitrary non-numeric ids still order deterministically
+        # — never parse doc_id arithmetic)
+        by_doc = sorted(per_source[source], key=lambda t: (t[2], t[0]))
+        sig_rows = [(sig, n, rank) for rank, (sig, n, _doc) in enumerate(by_doc)]
         clusters = cluster_signatures(sig_rows)
         order = sorted(clusters, key=lambda c: (c.first_seen, c.template_words))
         for idx, cluster in enumerate(order, start=1):
@@ -178,6 +176,18 @@ def extend_mapping(
         except (IndexError, ValueError):
             ordinal = 0
         max_ordinal[r.source] = max(max_ordinal.get(r.source, 0), ordinal)
+
+    def _id_order(entry: tuple[str, list[str]]):
+        tid = entry[0]
+        try:
+            return (0, int(tid.rsplit("#", 1)[1]), tid)
+        except (IndexError, ValueError):
+            return (1, 0, tid)
+
+    # star-compat pre-match scans clusters in dense-id (discovery/precedence)
+    # order — collect() order is parquet file-listing order, NOT deterministic
+    for src in clusters_by_source:
+        clusters_by_source[src].sort(key=_id_order)
 
     def star_compatible(star_words: list[str], sig_words: list[str]) -> bool:
         return len(star_words) == len(sig_words) and all(

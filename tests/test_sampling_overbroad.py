@@ -96,6 +96,24 @@ def test_overbroad_report_persists_top_n(spark, tmp_path):
     assert report[0].overbroad and report[0].template_id in ("t#bad", "t#bad2")
 
 
+def test_routed_content_reconstruction_is_exact(spark, fixture_dir, pipeline_out):
+    """(content, word_vars) rebuilt from routed (template_star, variables)
+    equals the parse stage's content byte-for-byte for every matched row."""
+    import os
+
+    from log_parser_cli_spark.extras.overbroad import routed_for_overbroad
+    from log_parser_cli_spark.operators.parse import parse_stage
+    from log_parser_cli_spark.plans.pipeline import load_dims
+
+    routed = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    rebuilt = routed_for_overbroad(routed).select("doc_id", F.col("content").alias("rc"))
+    vocab_rows, source_heads, _ = load_dims(spark, fixture_dir)
+    seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    parsed = parse_stage(spark, seq, vocab_rows, source_heads).select("doc_id", "content")
+    diff = rebuilt.join(parsed, "doc_id").filter(F.col("rc") != F.col("content"))
+    assert diff.count() == 0, diff.take(3)
+
+
 def test_fix_duplicated_variables():
     fixed, tpl = fix_duplicated_variables("User ⟪johnjohn⟫ in", "User john in")
     assert fixed and tpl == "User ⟪john⟫ in"
