@@ -53,6 +53,21 @@ def test_minhash_equals_bruteforce_on_found_pairs(docs):
         assert j == brute[p]
 
 
+def test_candidate_restricted_jaccard_equals_bruteforce(docs, spark):
+    """The input-restricted candidate join computes the SAME jaccard values
+    as the self-join path when the candidate set is complete."""
+    brute = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.0).collect()}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "a long, b long"
+    )
+    cand = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.0, candidates=all_pairs).collect()
+    }
+    assert cand == brute
+
+
 def test_minhash_signature_shape(docs):
     sig = minhash_signatures(docs, "doc_id", "text", k=2, n_hashes=16)
     rows = sig.collect()
