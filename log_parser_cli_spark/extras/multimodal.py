@@ -87,6 +87,52 @@ def extract_features(
     return assets.mapInPandas(run, schema=out_schema)
 
 
+def payload_embeddings(
+    spark: SparkSession, assets: DataFrame, dim: int = 16, fake_encode: bool = True
+) -> DataFrame:
+    """Arrow-batched payload → embedding stage: (asset_id, embedding).
+
+    The encoder is the multimodal analog of the decode stub: with
+    ``fake_encode`` it derives a deterministic unit vector from the payload
+    bytes (md5-expanded, so near-identical payloads get identical vectors);
+    a real model slots into the same mapInPandas signature. Output feeds the
+    similarity family unchanged — ANN top-k / LSH near-dup over assets is
+    ``cosine_topk`` / ``rhp_candidates`` + ``cosine_pairs`` on this frame.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def embed(payload: bytes) -> list[float]:
+        if payload is None:
+            return [0.0] * dim
+        raw = []
+        i = 0
+        while len(raw) < dim:
+            h = hashlib.md5(bytes(payload) + i.to_bytes(2, "big")).digest()
+            raw.extend(b / 255.0 - 0.5 for b in h)
+            i += 1
+        v = raw[:dim]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        return [float(x / norm) for x in v]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake_encode:
+                raise NotImplementedError("real encoders are not bundled in this container")
+            out = pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "embedding": pdf["payload"].map(embed)}
+            )
+            yield out
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 500) -> DataFrame:
     """Plan frame-sampling work without decoding: one row per (asset, ts_ms).
 

@@ -21,6 +21,39 @@ def test_feature_extraction_shapes(spark):
     assert again == {r.asset_id: r.phash for r in rows}
 
 
+def test_payload_embeddings_feed_similarity_ops(spark):
+    """Multimodal → embedding → near-dup composition: payload-derived unit
+    vectors run through the SAME LSH-candidate + cosine-verify plan as the
+    embeddings table; exact duplicate payloads are found with sim 1.0."""
+    import pyspark.sql.functions as F
+
+    from log_parser_cli_spark.extras.multimodal import payload_embeddings
+    from log_parser_cli_spark.extras.similarity import cosine_pairs, rhp_candidates
+
+    assets = make_fake_assets(spark, n=24)
+    # duplicate two payloads under new asset ids
+    dups = assets.filter(F.col("asset_id").isin("asset-000003", "asset-000007")).withColumn(
+        "asset_id", F.concat(F.lit("dup-"), "asset_id")
+    )
+    emb = payload_embeddings(spark, assets.unionByName(dups)).withColumn(
+        "vec_id", F.abs(F.hash("asset_id"))
+    )
+    rows = {r.asset_id: (r.vec_id, list(r.embedding)) for r in emb.collect()}
+    # unit vectors, deterministic
+    for _aid, (_vid, v) in rows.items():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    assert rows["asset-000003"][1] == rows["dup-asset-000003"][1]
+
+    cands = rhp_candidates(emb, dim=16, n_planes=60, rows_per_band=3)
+    pairs = cosine_pairs(emb, threshold=0.999, candidates=cands).collect()
+    found = {frozenset((r.a, r.b)) for r in pairs}
+    expect = {
+        frozenset((rows["asset-000003"][0], rows["dup-asset-000003"][0])),
+        frozenset((rows["asset-000007"][0], rows["dup-asset-000007"][0])),
+    }
+    assert expect <= found
+
+
 def test_real_decode_is_stubbed(spark):
     assets = make_fake_assets(spark, n=4)
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
