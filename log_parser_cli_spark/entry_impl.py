@@ -327,6 +327,61 @@ def q_pipeline_eval_vs_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(row, ", ".join(f"{c.lower()} double" for c in _METRIC_COLS))
 
 
+def q_library_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: MERGE-style template upsert — replace every even-ordinal template
+    with a bumped created_at, add one new template per source, verify the
+    merged library's per-source counts and created_at sums."""
+    from log_parser_cli_spark.plans.library_ops import merge_templates
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    templates = spark.read.parquet(os.path.join(fx, "templates.parquet")).select(
+        "template_id", "source", "created_at"
+    )
+    updates = (
+        templates.filter(F.col("created_at") % 2 == 0)
+        .withColumn("created_at", F.col("created_at") + 100)
+        .unionByName(
+            templates.groupBy("source").agg(
+                (F.max("created_at") + 1).alias("created_at")
+            ).select(
+                F.concat("source", F.lit("#new")).alias("template_id"),
+                "source",
+                "created_at",
+            )
+        )
+    )
+    merged = merge_templates(templates, updates)
+    return merged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_templates"),
+        F.sum("created_at").cast("long").alias("sum_created"),
+    )
+
+
+def q_orphan_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3/E4: delete two templates, re-queue their rows into pending,
+    exclude already-seen contents — per-source kept/pending counts."""
+    from log_parser_cli_spark.plans.library_ops import exclude_seen, requeue_orphans
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet"))
+    matches = gt.filter(F.col("head_matched")).select(
+        "doc_id", "source", "content", F.col("event_id").alias("template_id")
+    )
+    deleted = ["apache#1", "hdfs#2"]
+    kept, pending = requeue_orphans(matches.withColumn("variables", F.lit(None).cast("string")), deleted)
+    # seen-sample exclusion: drop pending rows whose content appeared among
+    # the first 100 kept lines (E3 semantics)
+    seen = kept.orderBy("doc_id").limit(100).select("content")
+    fresh = exclude_seen(pending, seen)
+    kept_counts = kept.groupBy("source").agg(F.count("*").cast("long").alias("n_kept"))
+    fresh_counts = fresh.groupBy("source").agg(F.count("*").cast("long").alias("n_pending"))
+    return kept_counts.join(fresh_counts, "source", "full").select(
+        "source",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("n_pending", F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
 def q_mapping_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/missing#3: incremental library evolution across two batches.
 
@@ -552,6 +607,8 @@ QUERIES = {
     "topk_per_source": q_topk_per_source,
     "template_conflicts": q_template_conflicts,
     "pipeline_eval_vs_gt": q_pipeline_eval_vs_gt,
+    "library_upsert": q_library_upsert,
+    "orphan_requeue": q_orphan_requeue,
     "mapping_evolution": q_mapping_evolution,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_jaccard_docs": q_dedup_jaccard_docs,
@@ -969,6 +1026,37 @@ def build_oracle_sql() -> dict[str, str]:
         "mapping_evolution": f"""
             SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
             FROM '{gt}' GROUP BY 1, 2
+        """,
+        "library_upsert": f"""
+            WITH t AS (SELECT template_id, source, created_at FROM '{_fx("templates")}'),
+            u AS (
+              SELECT template_id, source, created_at + 100 AS created_at
+              FROM t WHERE created_at % 2 = 0
+              UNION ALL
+              SELECT source || '#new', source, max(created_at) + 1 FROM t GROUP BY source
+            ),
+            merged AS (
+              SELECT * FROM t WHERE template_id NOT IN (SELECT template_id FROM u)
+              UNION ALL SELECT * FROM u
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_templates,
+                   CAST(sum(created_at) AS BIGINT) AS sum_created
+            FROM merged GROUP BY 1
+        """,
+        "orphan_requeue": f"""
+            WITH m AS (
+              SELECT doc_id, source, content, event_id AS template_id
+              FROM '{gt}' WHERE head_matched
+            ),
+            kept AS (SELECT * FROM m WHERE template_id NOT IN ('apache#1', 'hdfs#2')),
+            orphans AS (SELECT * FROM m WHERE template_id IN ('apache#1', 'hdfs#2')),
+            seen AS (SELECT content FROM kept ORDER BY doc_id LIMIT 100),
+            fresh AS (SELECT * FROM orphans WHERE content NOT IN (SELECT content FROM seen)),
+            k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1),
+            p AS (SELECT source, count(*) AS n_pending FROM fresh GROUP BY 1)
+            SELECT source, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(n_pending, 0) AS BIGINT) AS n_pending
+            FROM k FULL JOIN p USING (source)
         """,
         "alignment_occurrences": f"""
             WITH numbered AS (
