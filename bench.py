@@ -171,7 +171,10 @@ def main() -> int:
     e2e_wall = min(e2e_wall, e2e_wall2)
     disc_wall, _ = _time_pipeline(spark, fixture_dir)  # incl. discovery
     queries = {"pipeline_replay_e2e": round(e2e_wall, 2), "pipeline_with_discovery": round(disc_wall, 2)}
-    for name in ("match_regex_counts", "eval_metrics", "dedup_minhash_docs", "ann_topk", "doc_quality"):
+    for name in (
+        "match_regex_counts", "eval_metrics", "dedup_minhash_docs", "ann_topk",
+        "doc_quality", "head_derive", "eval_from_reports", "embedding_dedup", "ann_ivf",
+    ):
         t0 = time.time()
         EI.QUERIES[name](spark, SF_DIR).collect()
         queries[name] = round(time.time() - t0, 2)

@@ -105,13 +105,14 @@ def _extract_content(
     named = _named_content_pattern(pattern, group_idx)
     if named is not None:
         try:
-            matched_arr = pc.fill_null(pc.match_substring_regex(lines, named), False)
+            # ONE RE2 pass: extract_regex yields a null struct for unmatched
+            # rows, so matched-ness and the content group come from the same
+            # scan (a separate match_substring_regex pass would double the
+            # regex work in the pipeline's hottest stage)
             struct = pc.extract_regex(lines, named)
-            content = pc.if_else(
-                matched_arr, struct.field("content"), pa.scalar(None, pa.string())
-            )
+            matched_arr = pc.is_valid(struct)
             return (
-                content.to_numpy(zero_copy_only=False),
+                struct.field("content").to_numpy(zero_copy_only=False),
                 matched_arr.to_numpy(zero_copy_only=False),
             )
         except pa.ArrowInvalid:
