@@ -192,6 +192,38 @@ def integrate_template(
     }
 
 
+def discover_with_refine(
+    spark,
+    library: list[dict],
+    matches: DataFrame,
+    pending: DataFrame,
+    candidates: list[dict],
+    **integrate_kwargs,
+) -> dict:
+    """Iterative discovery over a candidate queue (pipeline.ts:130-165): each
+    candidate runs the full integrate/conflict/refine machine in order, with
+    the evolving (library, matches, pending) state threaded through — accepted
+    templates shrink the pending queue before the next candidate is tried
+    (the reference's re-match-pending-after-persist, pipeline.ts:500-510).
+
+    Returns {library, matches, pending, reports} where ``reports`` carries one
+    per-candidate record (accepted, deleted_ids, iterations).
+    """
+    reports: list[dict] = []
+    for cand in candidates:
+        r = integrate_template(spark, library, matches, pending, cand, **integrate_kwargs)
+        library, matches, pending = r["library"], r["matches"], r["pending"]
+        reports.append(
+            {
+                "template_id": cand["template_id"],
+                "accepted": r["accepted"],
+                "deleted_ids": r["deleted_ids"],
+                "iterations": r["iterations"],
+            }
+        )
+    return {"library": library, "matches": matches, "pending": pending, "reports": reports}
+
+
 def write_match_report(matched: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV match report (K2): raw_log, template_id, template_placeholder."""
     cols = [c for c in ("raw_log", "template_id", "template_placeholder") if c in matched.columns]

@@ -90,6 +90,43 @@ def test_refine_loop_rejects_unresolvable_candidate(spark):
     assert [t["template_id"] for t in r2["library"]] == ["s#1"]
 
 
+def test_discover_with_refine_processes_candidate_queue(spark):
+    """Sequential candidate queue (pipeline.ts:130-165): candidate 1 deletes
+    the overbroad seed and claims its rows; candidate 2 then claims the beta
+    orphans that returned to pending; gamma rows remain pending."""
+    from log_parser_cli_spark.plans.library_ops import discover_with_refine
+
+    rows = (
+        [(f"a{i:02d}", "s", f"alpha {i} ok") for i in range(8)]
+        + [(f"b{i:02d}", "s", f"beta {i} done") for i in range(5)]
+        + [(f"g{i:02d}", "s", f"gamma sent {i}") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, content string")
+    seed = {
+        "template_id": "s#seed",
+        "source": "s",
+        "pattern": r"^[a-z]+ (?P<v1>\d+) [a-z]+$",
+        "created_at": 1,
+    }
+    matched0 = match_templates(spark, df, [seed])
+    matches = matched0.filter(F.col("template_id").isNotNull())
+    pending = matched0.filter(F.col("template_id").isNull()).drop("template_id", "variables")
+
+    candidates = [
+        {"template_id": "s#1", "source": "s", "pattern": r"^alpha (?P<v1>\d+) ok$", "created_at": 2},
+        {"template_id": "s#2", "source": "s", "pattern": r"^beta (?P<v1>\d+) done$", "created_at": 3},
+    ]
+    result = discover_with_refine(spark, [seed], matches, pending, candidates)
+    assert [r["accepted"] for r in result["reports"]] == [True, True]
+    assert result["reports"][0]["deleted_ids"] == ["s#seed"]
+    assert result["reports"][1]["deleted_ids"] == []
+    assert sorted(t["template_id"] for t in result["library"]) == ["s#1", "s#2"]
+    owned = {r.doc_id[0] for r in result["matches"].collect()}
+    assert owned == {"a", "b"}
+    assert result["matches"].count() == 13
+    assert {r.doc_id[0] for r in result["pending"].collect()} == {"g"}
+
+
 def test_discovery_driver_set_is_bounded(spark):
     """A pathological source with far more distinct signatures than the cap
     completes with a bounded driver set; overflow rows get no mapping."""
