@@ -327,6 +327,43 @@ def q_pipeline_eval_vs_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(row, ", ".join(f"{c.lower()} double" for c in _METRIC_COLS))
 
 
+def q_derived_library_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-export consistency theorem: convert the discovered Drain
+    mapping into the reference's ⟪⟫-regex template library
+    (plans/export.py), re-match the corpus with THOSE regexes (J2 path), and
+    the per-(source, star) counts must equal ground truth — i.e. the regex
+    artifact a reference user exports is interchangeable with the signature
+    pipeline."""
+    from log_parser_cli_spark.operators.matcher import match_templates
+    from log_parser_cli_spark.operators.parse import parse_stage
+    from log_parser_cli_spark.plans.export import export_template_library
+    from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
+
+    out, fx = pipeline_out_for(spark, sf_dir)
+    vocab_rows, source_heads, sources_df = load_dims(spark, fx)
+    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
+    parsed = parse_stage(spark, seq, vocab_rows, source_heads).persist()
+    try:
+        mapping = spark.read.parquet(os.path.join(out, "template_mapping"))
+        enriched = enrich_stage(parsed, mapping, sources_df)
+        library = export_template_library(spark, enriched)
+        star_of = {t["template_id"]: t["template_star"] for t in library}
+        matched = match_templates(spark, parsed, library)
+        star_map = F.create_map(*[F.lit(x) for kv in star_of.items() for x in kv])
+        return (
+            matched.withColumn(
+                "template_star",
+                F.when(~F.col("head_matched"), F.lit("")).otherwise(
+                    F.coalesce(star_map[F.col("template_id")], F.lit("__UNMATCHED__"))
+                ),
+            )
+            .groupBy("source", "template_star")
+            .agg(F.count("*").cast("long").alias("n_sequences"))
+        )
+    finally:
+        parsed.unpersist()
+
+
 def q_library_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5: MERGE-style template upsert — replace every even-ordinal template
     with a bumped created_at, add one new template per source, verify the
@@ -607,6 +644,7 @@ QUERIES = {
     "topk_per_source": q_topk_per_source,
     "template_conflicts": q_template_conflicts,
     "pipeline_eval_vs_gt": q_pipeline_eval_vs_gt,
+    "derived_library_counts": q_derived_library_counts,
     "library_upsert": q_library_upsert,
     "orphan_requeue": q_orphan_requeue,
     "mapping_evolution": q_mapping_evolution,
@@ -1024,6 +1062,10 @@ def build_oracle_sql() -> dict[str, str]:
                    1.0 AS pa_friendly, 1.0 AS purecoverage
         """,
         "mapping_evolution": f"""
+            SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "derived_library_counts": f"""
             SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
             FROM '{gt}' GROUP BY 1, 2
         """,
