@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="score routed output vs ground truth; write metrics table")
     ap.add_argument("--overbroad", action="store_true",
                     help="persist the top-50 overbroad-template report")
+    ap.add_argument("--export-library", action="store_true",
+                    help="export the discovered clusters as a regex template library")
     args = ap.parse_args(argv)
 
     from log_parser_cli_spark.plans.pipeline import run_pipeline
@@ -101,6 +103,32 @@ def main(argv: list[str] | None = None) -> int:
             metrics.show(10, truncate=False)
         else:
             print("eval-reports skipped: no ground_truth.parquet in fixtures")
+
+    if args.export_library:
+        from log_parser_cli_spark.operators.parse import parse_stage
+        from log_parser_cli_spark.plans.export import export_template_library
+        from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
+
+        vocab_rows, source_heads, sources_df = load_dims(spark, args.fixtures)
+        seq = spark.read.parquet(os.path.join(args.fixtures, "sequences.parquet"))
+        mapping = spark.read.parquet(
+            args.match_only if args.match_only else f"{args.out}/template_mapping"
+        )
+        enriched = enrich_stage(
+            parse_stage(spark, seq, vocab_rows, source_heads), mapping, sources_df
+        )
+        library = export_template_library(spark, enriched)
+        lib_path = os.path.join(args.out, "template_library")
+        spark.createDataFrame(
+            [
+                (t["template_id"], t["source"], t["placeholder_template"], t["pattern"],
+                 t["template_star"], t["variables"], t["created_at"])
+                for t in library
+            ],
+            "template_id string, source string, placeholder_template string, pattern string,"
+            " template_star string, variables array<string>, created_at long",
+        ).coalesce(1).write.mode("overwrite").parquet(lib_path)
+        print(f"template library: {lib_path} ({len(library)} templates)")
 
     if args.overbroad:
         from log_parser_cli_spark.extras.overbroad import (
