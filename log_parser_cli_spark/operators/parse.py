@@ -133,6 +133,74 @@ def _extract_content(
     return content, matched
 
 
+def infer_sources(
+    spark: SparkSession,
+    seq_df: DataFrame,
+    vocab_rows: list[tuple[int, str]],
+    source_heads: dict[str, tuple[str, int]],
+    unknown_label: str = "__UNKNOWN__",
+) -> DataFrame:
+    """Routing stage (§3.1a): classify rows with NULL/empty ``source`` by
+    head-pattern match — the deterministic stand-in for the reference's
+    RoutingAgent (routing-agent.ts:34-80 classifies sample lines to a library;
+    here every candidate library's head regex votes, first match in sorted
+    source order wins; unmatched rows get ``unknown_label``).
+
+    Rows that already carry a source pass through untouched. Same vectorized
+    shape as parse: render once, then one RE2 pass per candidate source over
+    the still-unassigned subset.
+    """
+    sc = spark.sparkContext
+    b_vocab = sc.broadcast(vocab_rows)
+    b_heads = sc.broadcast(sorted(source_heads.items()))
+
+    out_schema = seq_df.schema
+    col_names = [f.name for f in seq_df.schema.fields]
+    tokens_idx = col_names.index("tokens")
+    source_idx = col_names.index("source")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vkey = ("vocab", len(b_vocab.value))
+        arrays = _EXEC_CACHE.get(vkey)
+        if arrays is None:
+            arrays = build_vocab_arrays(b_vocab.value)
+            _EXEC_CACHE[vkey] = arrays
+        text_by_id, _canon = arrays
+        heads = b_heads.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            sources = batch.column(source_idx).to_numpy(zero_copy_only=False)
+            unknown = np.array([s is None or s == "" for s in sources], dtype=bool)
+            if not unknown.any():
+                yield batch
+                continue
+            tokens = batch.column(tokens_idx)
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            offs = np.asarray(tokens.offsets)
+            words = pc.take(text_by_id, tokens.values)
+            word_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), words)
+            lines = pc.binary_join(word_lists, pa.scalar(" "))
+            out_sources = sources.copy()
+            remaining = np.nonzero(unknown)[0]
+            for src, (pattern, group_idx) in heads:
+                if remaining.size == 0:
+                    break
+                sub = pc.take(lines, pa.array(remaining, pa.int64()))
+                _c, matched = _extract_content(sub, pattern, group_idx)
+                hit = remaining[matched]
+                out_sources[hit] = src
+                remaining = remaining[~matched]
+            out_sources[remaining] = unknown_label
+            cols = list(batch.columns)
+            cols[source_idx] = pa.array(out_sources.tolist(), pa.string())
+            yield pa.RecordBatch.from_arrays(cols, names=col_names)
+
+    return seq_df.mapInArrow(run, schema=out_schema)
+
+
 def parse_stage(
     spark: SparkSession,
     seq_df: DataFrame,
