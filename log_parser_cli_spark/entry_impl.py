@@ -335,33 +335,31 @@ def q_derived_library_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a reference user exports is interchangeable with the signature
     pipeline."""
     from log_parser_cli_spark.operators.matcher import match_templates
-    from log_parser_cli_spark.operators.parse import parse_stage
     from log_parser_cli_spark.plans.export import export_template_library
     from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
 
     out, fx = pipeline_out_for(spark, sf_dir)
-    vocab_rows, source_heads, sources_df = load_dims(spark, fx)
-    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
-    parsed = parse_stage(spark, seq, vocab_rows, source_heads).persist()
-    try:
-        mapping = spark.read.parquet(os.path.join(out, "template_mapping"))
-        enriched = enrich_stage(parsed, mapping, sources_df)
-        library = export_template_library(spark, enriched)
-        star_of = {t["template_id"]: t["template_star"] for t in library}
-        matched = match_templates(spark, parsed, library)
-        star_map = F.create_map(*[F.lit(x) for kv in star_of.items() for x in kv])
-        return (
-            matched.withColumn(
-                "template_star",
-                F.when(~F.col("head_matched"), F.lit("")).otherwise(
-                    F.coalesce(star_map[F.col("template_id")], F.lit("__UNMATCHED__"))
-                ),
-            )
-            .groupBy("source", "template_star")
-            .agg(F.count("*").cast("long").alias("n_sequences"))
+    _vocab_rows, _source_heads, sources_df = load_dims(spark, fx)
+    # the pipeline run just checkpointed the parsed stream — reuse it instead
+    # of re-running the mapInArrow parse (twice, since the returned plan is
+    # evaluated by the caller after this function exits)
+    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+    mapping = spark.read.parquet(os.path.join(out, "template_mapping"))
+    enriched = enrich_stage(parsed, mapping, sources_df)
+    library = export_template_library(spark, enriched)
+    star_of = {t["template_id"]: t["template_star"] for t in library}
+    matched = match_templates(spark, parsed, library)
+    star_map = F.create_map(*[F.lit(x) for kv in star_of.items() for x in kv])
+    return (
+        matched.withColumn(
+            "template_star",
+            F.when(~F.col("head_matched"), F.lit("")).otherwise(
+                F.coalesce(star_map[F.col("template_id")], F.lit("__UNMATCHED__"))
+            ),
         )
-    finally:
-        parsed.unpersist()
+        .groupBy("source", "template_star")
+        .agg(F.count("*").cast("long").alias("n_sequences"))
+    )
 
 
 def q_library_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,18 +105,17 @@ def main(argv: list[str] | None = None) -> int:
             print("eval-reports skipped: no ground_truth.parquet in fixtures")
 
     if args.export_library:
-        from log_parser_cli_spark.operators.parse import parse_stage
         from log_parser_cli_spark.plans.export import export_template_library
         from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
 
-        vocab_rows, source_heads, sources_df = load_dims(spark, args.fixtures)
-        seq = spark.read.parquet(os.path.join(args.fixtures, "sequences.parquet"))
+        # reuse the run's OWN checkpointed parse output — consistent with
+        # whatever heads the run used (incl. --derive-heads) and no re-parse
+        _vocab_rows, _source_heads, sources_df = load_dims(spark, args.fixtures)
+        parsed = spark.read.parquet(f"{args.out}/parsed")
         mapping = spark.read.parquet(
             args.match_only if args.match_only else f"{args.out}/template_mapping"
         )
-        enriched = enrich_stage(
-            parse_stage(spark, seq, vocab_rows, source_heads), mapping, sources_df
-        )
+        enriched = enrich_stage(parsed, mapping, sources_df)
         library = export_template_library(spark, enriched)
         lib_path = os.path.join(args.out, "template_library")
         spark.createDataFrame(

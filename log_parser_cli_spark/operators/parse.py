@@ -47,6 +47,34 @@ PARSED_EXTRA_FIELDS = [
 _EXEC_CACHE: dict = {}
 
 
+def _vocab_cache_key(vocab_rows: list[tuple[int, str]]) -> tuple:
+    """Cache key robust to two same-length vocabs on one executor: length +
+    crc of a sampled row subset (cheap; computed once per task)."""
+    import zlib
+
+    step = max(1, len(vocab_rows) // 16)
+    return ("vocab", len(vocab_rows), zlib.crc32(repr(vocab_rows[::step]).encode()))
+
+
+def _cached_vocab_arrays(vocab_rows: list[tuple[int, str]]) -> tuple[pa.Array, pa.Array]:
+    key = _vocab_cache_key(vocab_rows)
+    arrays = _EXEC_CACHE.get(key)
+    if arrays is None:
+        arrays = build_vocab_arrays(vocab_rows)
+        _EXEC_CACHE[key] = arrays
+    return arrays
+
+
+def _render_lines(tokens: pa.Array, text_by_id: pa.Array) -> pa.StringArray:
+    """Render token lists → space-joined lines (one C++ take + join pass)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offs = np.asarray(tokens.offsets)
+    words = pc.take(text_by_id, tokens.values)
+    word_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), words)
+    return pc.binary_join(word_lists, pa.scalar(" "))
+
+
 def build_vocab_arrays(vocab_rows: list[tuple[int, str]]) -> tuple[pa.Array, pa.Array]:
     """(token_id, text) rows → (text_by_id, canon_by_id) Arrow lookup arrays.
 
@@ -101,9 +129,13 @@ def _extract_content(
     """Vectorized head extraction: (content object-array, matched bool-array).
 
     RE2 via pc.extract_regex when possible; Python re fallback otherwise.
+    Both engines anchor at line START (re.match semantics): the RE2 pattern
+    is wrapped with \\A so an un-anchored head config cannot match mid-line
+    on one engine and fail on the other.
     """
     named = _named_content_pattern(pattern, group_idx)
     if named is not None:
+        named = r"\A(?:" + named + ")"
         try:
             # ONE RE2 pass: extract_regex yields a null struct for unmatched
             # rows, so matched-ness and the content group come from the same
@@ -160,40 +192,38 @@ def infer_sources(
     source_idx = col_names.index("source")
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        vkey = ("vocab", len(b_vocab.value))
-        arrays = _EXEC_CACHE.get(vkey)
-        if arrays is None:
-            arrays = build_vocab_arrays(b_vocab.value)
-            _EXEC_CACHE[vkey] = arrays
-        text_by_id, _canon = arrays
+        text_by_id, _canon = _cached_vocab_arrays(b_vocab.value)
         heads = b_heads.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            sources = batch.column(source_idx).to_numpy(zero_copy_only=False)
-            unknown = np.array([s is None or s == "" for s in sources], dtype=bool)
+            src_col = batch.column(source_idx)
+            # vectorized unknown mask (no per-row Python)
+            unknown_arr = pc.or_kleene(
+                pc.is_null(src_col), pc.equal(src_col, pa.scalar(""))
+            )
+            unknown = pc.fill_null(unknown_arr, True).to_numpy(zero_copy_only=False)
             if not unknown.any():
                 yield batch
                 continue
+            # render ONLY the unknown-source subset
+            unknown_idx = np.nonzero(unknown)[0]
             tokens = batch.column(tokens_idx)
             if isinstance(tokens, pa.ChunkedArray):
                 tokens = tokens.combine_chunks()
-            offs = np.asarray(tokens.offsets)
-            words = pc.take(text_by_id, tokens.values)
-            word_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), words)
-            lines = pc.binary_join(word_lists, pa.scalar(" "))
-            out_sources = sources.copy()
-            remaining = np.nonzero(unknown)[0]
+            sub_tokens = tokens.take(pa.array(unknown_idx, pa.int64()))
+            lines = _render_lines(sub_tokens, text_by_id)
+            out_sources = src_col.to_numpy(zero_copy_only=False).copy()
+            remaining = np.arange(unknown_idx.size)  # positions within the subset
             for src, (pattern, group_idx) in heads:
                 if remaining.size == 0:
                     break
                 sub = pc.take(lines, pa.array(remaining, pa.int64()))
                 _c, matched = _extract_content(sub, pattern, group_idx)
-                hit = remaining[matched]
-                out_sources[hit] = src
+                out_sources[unknown_idx[remaining[matched]]] = src
                 remaining = remaining[~matched]
-            out_sources[remaining] = unknown_label
+            out_sources[unknown_idx[remaining]] = unknown_label
             cols = list(batch.columns)
             cols[source_idx] = pa.array(out_sources.tolist(), pa.string())
             yield pa.RecordBatch.from_arrays(cols, names=col_names)
@@ -219,12 +249,7 @@ def parse_stage(
     out_names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        vkey = ("vocab", len(b_vocab.value))
-        arrays = _EXEC_CACHE.get(vkey)
-        if arrays is None:
-            arrays = build_vocab_arrays(b_vocab.value)
-            _EXEC_CACHE[vkey] = arrays
-        text_by_id, canon_by_id = arrays
+        text_by_id, canon_by_id = _cached_vocab_arrays(b_vocab.value)
         heads = b_heads.value
 
         for batch in batches:
@@ -234,13 +259,10 @@ def parse_stage(
             tokens = batch.column(tokens_idx)
             if isinstance(tokens, pa.ChunkedArray):
                 tokens = tokens.combine_chunks()
-            # large_list / list normalization
             offs = np.asarray(tokens.offsets)
             flat = tokens.values
             # render: vocab take + list join — all C++
-            words = pc.take(text_by_id, flat)
-            word_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), words)
-            lines = pc.binary_join(word_lists, pa.scalar(" "))
+            lines = _render_lines(tokens, text_by_id)
 
             # head extraction per source over that source's row subset
             sources = batch.column(source_idx).to_numpy(zero_copy_only=False)

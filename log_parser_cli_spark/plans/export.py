@@ -41,8 +41,15 @@ def placeholder_from_star(content: str, star: str) -> str:
     the ``<*>`` are preserved, e.g. star ``blk_<*>`` + word ``blk_123`` →
     ``blk_⟪123⟫``).
     """
+    content_words = content.split(" ")
+    star_words = star.split(" ")
+    if len(content_words) != len(star_words):
+        # structural mismatch (hand-edited mapping / foreign star): degrade
+        # gracefully — embed the whole line as one value instead of aborting
+        # the export (zip would silently truncate, then reconstruction fails)
+        return f"{START}{content}{END}"
     out = []
-    for word, star_word in zip(content.split(" "), star.split(" ")):
+    for word, star_word in zip(content_words, star_words):
         if "<*>" not in star_word:
             out.append(word)
             continue
