@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="persist the top-50 overbroad-template report")
     ap.add_argument("--export-library", action="store_true",
                     help="export the discovered clusters as a regex template library")
+    ap.add_argument("--infer-sources", action="store_true",
+                    help="route NULL/empty-source rows by head-pattern vote before parsing")
     args = ap.parse_args(argv)
 
     from log_parser_cli_spark.plans.pipeline import run_pipeline
@@ -64,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         salt_buckets=args.salt_buckets,
         mapping_df=mapping_df,
         derive_heads=args.derive_heads,
+        infer_missing_sources=args.infer_sources,
     )
     wall = time.time() - t0
 

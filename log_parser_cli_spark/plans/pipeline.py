@@ -395,6 +395,7 @@ def run_pipeline(
     seq_df: DataFrame | None = None,
     checkpoint_parse: bool = True,
     derive_heads: bool = False,
+    infer_missing_sources: bool = False,
 ) -> PipelineResult:
     """Full parse → enrich → route → aggregate job.
 
@@ -408,12 +409,18 @@ def run_pipeline(
     ``derive_heads=True`` ignores the configured head patterns and derives
     them from the token table itself (the reference's ensureHeadPattern step,
     manager.ts:31-213) before parsing.
+    ``infer_missing_sources=True`` routes NULL/empty-source rows to a library
+    by head-pattern vote before parsing (the reference's routing step, §3.1a).
     """
     result = PipelineResult(out_dir=out_dir)
     manifest = Manifest(out_dir, run_id)
     vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
     if seq_df is None:
         seq_df = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    if infer_missing_sources:
+        from log_parser_cli_spark.operators.parse import infer_sources
+
+        seq_df = infer_sources(spark, seq_df, vocab_rows, source_heads)
     if derive_heads:
         from log_parser_cli_spark.operators.head_derive import derive_heads_stage
 
