@@ -167,9 +167,9 @@ def _derive_heads_from_gt(gt_path: str) -> dict[str, str]:
         zip(tbl["source"].to_pylist(), tbl["line_no"].to_pylist(), tbl["rendered"].to_pylist()),
         key=lambda r: r[1],
     )
-    per_source: dict[str, list[str]] = {}
-    for src, _ln, rendered in rows:
-        per_source.setdefault(src, []).append(rendered)
+    per_source: dict[str, list[tuple]] = {}
+    for src, ln, rendered in rows:
+        per_source.setdefault(src, []).append((ln, rendered))
     return {s: p for s, p in derive_heads(per_source, HEAD_DERIVE_POOL).items() if p}
 
 
@@ -245,7 +245,13 @@ def q_eval_from_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     report_dir = os.path.join(
         _runs_base(), f"{sf_name}-reports-v{ENGINE_VERSION}.{GEN_VERSION}"
     )
-    if not os.path.exists(os.path.join(report_dir, "matches_csv", "_SUCCESS")):
+    # reuse the cached reports only when BOTH sinks committed — a crash
+    # between the matches and failures writes must trigger regeneration, not
+    # silently undercount failures (ADVICE)
+    if not all(
+        os.path.exists(os.path.join(report_dir, sink, "_SUCCESS"))
+        for sink in ("matches_csv", "failures_jsonl")
+    ):
         labels = spark.read.parquet(os.path.join(fx, "labels.parquet"))
         labeled = labels.join(gt, "line_no").select(
             "line_no", "source", "rendered", "pred_id"

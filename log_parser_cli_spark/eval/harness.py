@@ -27,8 +27,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log_parser_cli_spark.eval.metrics import metrics_from_cells
-from log_parser_cli_spark.plans.library_ops import write_failure_report, write_match_report
+from log_parser_cli_spark.eval.metrics import (
+    MAX_DRIVER_CELLS,
+    _distributed_metrics,
+    metrics_from_cells,
+)
+from log_parser_cli_spark.plans.library_ops import (
+    CSV_NULL as _CSV_NULL,
+    write_failure_report,
+    write_match_report,
+)
 
 METRIC_COLS = [
     "GA", "GA_precision", "GA_recall", "PA", "predPure", "gtPure",
@@ -62,7 +70,12 @@ def write_eval_reports(spark: SparkSession, labeled: DataFrame, out_dir: str) ->
     return {"matches": matches_path, "failures": failures_path}
 
 
-def eval_from_reports(spark: SparkSession, report_dir: str, gt: DataFrame) -> DataFrame:
+def eval_from_reports(
+    spark: SparkSession,
+    report_dir: str,
+    gt: DataFrame,
+    max_driver_cells: int = MAX_DRIVER_CELLS,
+) -> DataFrame:
     """Ingest report files, align to ground truth, emit per-dataset + macro
     metrics (one row per dataset, one ``__MACRO__`` row).
 
@@ -70,8 +83,18 @@ def eval_from_reports(spark: SparkSession, report_dir: str, gt: DataFrame) -> Da
     (dataset, ga, …, purecoverage, coverage) — coverage is the matched
     fraction per dataset (failures count against it), macro rows are
     unweighted means (A8).
+
+    Driver safety: the contingency cells are collected only up to
+    ``max_driver_cells`` total; beyond that (degenerate labelings where cells
+    ≈ rows, e.g. pred=doc_id) each dataset's metrics run distributed on the
+    cached cells instead — same arithmetic, bounded driver memory (mirrors
+    ``eval.metrics.accuracy_metrics``).
     """
-    matches = spark.read.option("header", True).csv(os.path.join(report_dir, "matches_csv"))
+    matches = (
+        spark.read.option("header", True)
+        .option("nullValue", _CSV_NULL)
+        .csv(os.path.join(report_dir, "matches_csv"))
+    )
     # explicit schema: an all-matched run writes an EMPTY failures sink,
     # which schema inference cannot read
     failures = spark.read.schema(
@@ -99,31 +122,62 @@ def eval_from_reports(spark: SparkSession, report_dir: str, gt: DataFrame) -> Da
     ).select("source", "pred_id", F.col("event_id").alias("gt_id"))
 
     # ONE scan → per-dataset contingency cells (cardinality ~ clusters²)
-    cells = (
+    cells_df = (
         aligned.groupBy("source", "pred_id", "gt_id")
         .agg(F.count("*").alias("cnt"))
-        .collect()
+        .cache()
     )
-    per_source_cells: dict[str, list[tuple[str, str, int]]] = {}
-    for r in cells:
-        per_source_cells.setdefault(r["source"], []).append(
-            (r["pred_id"], r["gt_id"], r["cnt"])
-        )
     failed = {
         r["source"]: r["n"]
         for r in failures.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
-
     cols = METRIC_COLS + ["coverage"]
     per_dataset: dict[str, dict[str, float]] = {}
-    # union with failure-only sources: a dataset where every line failed must
-    # surface with coverage 0, not vanish from the table (and the macro)
-    for source in sorted(set(per_source_cells) | set(failed)):
-        cells_src = per_source_cells.get(source, [])
-        m = metrics_from_cells(cells_src)
-        total = sum(c for _p, _g, c in cells_src)
-        m["coverage"] = total / (total + failed.get(source, 0)) if (total or failed.get(source)) else 0.0
-        per_dataset[source] = m
+    try:
+        head = cells_df.limit(max_driver_cells + 1).collect()
+        if len(head) <= max_driver_cells:
+            per_source_cells: dict[str, list[tuple[str, str, int]]] = {}
+            for r in head:
+                per_source_cells.setdefault(r["source"], []).append(
+                    (r["pred_id"], r["gt_id"], r["cnt"])
+                )
+            # union with failure-only sources: a dataset where every line
+            # failed must surface with coverage 0, not vanish from the macro
+            for source in sorted(set(per_source_cells) | set(failed)):
+                cells_src = per_source_cells.get(source, [])
+                m = metrics_from_cells(cells_src)
+                total = sum(c for _p, _g, c in cells_src)
+                m["coverage"] = (
+                    total / (total + failed.get(source, 0))
+                    if (total or failed.get(source))
+                    else 0.0
+                )
+                per_dataset[source] = m
+        else:
+            # oversized cells: per-dataset distributed arithmetic on the
+            # cached cells; only per-dataset totals reach the driver
+            src_totals = {
+                r["source"]: r["tot"]
+                for r in cells_df.groupBy("source").agg(F.sum("cnt").alias("tot")).collect()
+            }
+            for source in sorted(set(src_totals) | set(failed)):
+                src_cells = cells_df.filter(F.col("source") == source).select(
+                    F.col("pred_id").alias("pred"), F.col("gt_id").alias("gt"), "cnt"
+                )
+                total = src_totals.get(source, 0)
+                m = (
+                    _distributed_metrics(src_cells)
+                    if total
+                    else metrics_from_cells([])
+                )
+                m["coverage"] = (
+                    total / (total + failed.get(source, 0))
+                    if (total or failed.get(source))
+                    else 0.0
+                )
+                per_dataset[source] = m
+    finally:
+        cells_df.unpersist()
     rows = [tuple([ds] + [m[k] for k in cols]) for ds, m in sorted(per_dataset.items())]
     schema = "dataset string, " + ", ".join(f"{c.lower()} double" for c in cols)
     raw_df = spark.createDataFrame(rows, schema)

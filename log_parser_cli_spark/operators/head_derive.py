@@ -24,8 +24,10 @@ place of the LLM (everything else mirrors the reference's control flow):
   diverse sampling (O5), score candidates by unmatched count over the pool,
   accept only non-worse candidates, stop at full coverage, a repeated
   candidate, or the round cap.
-- ``derive_head_for_source``: Spark wrapper — a deterministic stride pool
-  (≤pool_size rows) is collected per source, the refine loop runs driver-side
+- ``stride_pool_collect`` / ``derive_heads_stage``: Spark wrappers — a
+  deterministic hash-thinned pool (≤pool_size rows, map-side filter on a
+  portable hash of the order key, residue-only sort — never a full-corpus
+  rank) is collected per source, the refine loop runs driver-side
   (discovery-time, like the reference's agent loop), and the FINAL pattern's
   coverage is validated distributed via ``rlike`` (P5). At 10^12 rows the
   full-scan coverage check runs once, not per round.
@@ -216,24 +218,41 @@ def to_jvm_pattern(pattern: str) -> str:
     return pattern.replace("(?P<", "(?<").replace("(?P=", r"\k<")
 
 
-def pool_lines(sorted_lines: list[str], pool_size: int) -> list[str]:
-    """Deterministic stride pool over an already-ordered line list — the pure
-    twin of extras.sampling.stride_sample (same indices: 0, step, 2*step …)."""
-    n = len(sorted_lines)
+def _pool_hash(key) -> int:
+    """Portable 32-bit hash of an order key — identical in Spark via
+    ``conv(substr(md5(concat('pool|', CAST(k AS STRING))), 1, 8), 16, 10)``."""
+    import hashlib
+
+    return int(hashlib.md5(f"pool|{key}".encode()).hexdigest()[:8], 16)
+
+
+def pool_lines(sorted_items: list[tuple], pool_size: int) -> list[str]:
+    """Deterministic hash-thinned pool over ordered ``(order_key, line)``
+    pairs — the pure twin of ``stride_pool_collect``. With n rows and
+    step = n // pool_size, keeps lines whose key hash ≡ 0 (mod step), first
+    ``pool_size`` in order; n ≤ pool_size keeps everything."""
+    n = len(sorted_items)
     if n <= pool_size:
-        return list(sorted_lines)
+        return [line for _k, line in sorted_items]
     step = n // pool_size
-    return [sorted_lines[i * step] for i in range(pool_size)]
+    out: list[str] = []
+    for key, line in sorted_items:
+        if _pool_hash(key) % step == 0:
+            out.append(line)
+            if len(out) >= pool_size:
+                break
+    return out
 
 
 def derive_heads(
-    per_source_lines: dict[str, list[str]], pool_size: int = 2000
+    per_source_items: dict[str, list[tuple]], pool_size: int = 2000
 ) -> dict[str, str | None]:
-    """Run the derive+refine loop per source over stride pools (driver-side,
-    discovery-time). ``per_source_lines`` values must be in line order."""
+    """Run the derive+refine loop per source over hash-thinned pools
+    (driver-side, discovery-time). ``per_source_items`` values are
+    ``(order_key, line)`` pairs in line order."""
     out: dict[str, str | None] = {}
-    for source in sorted(per_source_lines):
-        pool = pool_lines(per_source_lines[source], pool_size)
+    for source in sorted(per_source_items):
+        pool = pool_lines(per_source_items[source], pool_size)
         pattern, _, _ = refine_head_pattern(pool)
         out[source] = pattern
     return out
@@ -242,31 +261,40 @@ def derive_heads(
 def stride_pool_collect(
     df, group_col: str, order_col: str, value_cols: list[str], pool_size: int = 2000
 ) -> dict[str, list[tuple]]:
-    """Collect a deterministic per-group stride pool in ONE pass.
+    """Collect a deterministic per-group pool WITHOUT a full-corpus sort.
 
-    The distributed twin of ``pool_lines``: per group, rows at rank indices
-    0, step, …, (pool_size-1)*step ordered by ``order_col`` (step = n//pool
-    when n > pool, else every row). Returns {group: [(order, *values), …]}
-    sorted by order. Shared by every derive surface so the pure-Python oracle
-    twin and the Spark queries can never drift apart.
+    The distributed twin of ``pool_lines``: per group with n rows, rows whose
+    portable hash of the order key ≡ 0 (mod n // pool_size) survive a
+    map-side filter (selectivity ~pool/n — unselected rows never shuffle),
+    then the first ``pool_size`` survivors by ``order_col`` are kept. The only
+    sort runs on the ~pool-sized residue per group — the previous windowed
+    stride ranked EVERY row, a needless full shuffle+sort at 10^12 rows where
+    the pool is 10⁻⁸ of the data. Per-group steps join in as a broadcast
+    DataFrame (not an O(groups)-deep CASE chain). Groups with n ≤ pool_size
+    keep every row. Returns {group: [(order, *values), …]} sorted by order.
+    Shared by every derive surface so the pure-Python oracle twin and the
+    Spark queries can never drift apart.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n")).collect()
-    }
-    step_expr = F.lit(None).cast("long")
-    for g, n in counts.items():
-        step = n // pool_size if n > pool_size else 1
-        step_expr = F.when(F.col(group_col) == g, F.lit(step)).otherwise(step_expr)
+    counts = (
+        df.groupBy(F.col(group_col).alias("_g")).agg(F.count("*").alias("_n")).collect()
+    )
+    steps = df.sparkSession.createDataFrame(
+        [(r["_g"], r["_n"] // pool_size if r["_n"] > pool_size else 1) for r in counts],
+        "_g string, _step long",
+    )
+    h32 = (
+        f"CAST(conv(substr(md5(concat('pool|', CAST({order_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
     w = Window.partitionBy(group_col).orderBy(order_col)
     rows = (
         df.select(group_col, order_col, *value_cols)
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_step", step_expr)
-        .filter((F.col("_rn") % F.col("_step") == 0) & (F.col("_rn") / F.col("_step") < pool_size))
+        .join(F.broadcast(steps), F.col(group_col) == F.col("_g"))
+        .filter(F.expr(h32) % F.col("_step") == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool_size)
         .select(group_col, order_col, *value_cols)
         .collect()
     )

@@ -65,13 +65,13 @@ def _compile_one(template_id: str, pattern: str) -> _CompiledTemplate:
         try:
             pc.extract_regex(_EMPTY_STR, full)
             return _CompiledTemplate(template_id, "re2_extract", full, None)
-        except pa.lib.ArrowError:
+        except pa.ArrowException:
             pass
     else:
         try:
             pc.match_substring_regex(_EMPTY_STR, full)
             return _CompiledTemplate(template_id, "re2_match", full, None)
-        except pa.lib.ArrowError:
+        except pa.ArrowException:
             pass
     return _CompiledTemplate(template_id, "py", full, re.compile(pattern))
 
@@ -187,8 +187,12 @@ def match_templates(
                         keep = []
                         py_lines = lines.to_pylist()
                         for pos, line in zip(remaining, py_lines):
-                            m = rx.match(line)
-                            if m is not None and m.end() == len(line):
+                            # fullmatch, not match()+end-length check: with an
+                            # in-pattern end anchor the engine backtracks into
+                            # later alternatives (e.g. 'a|ab' on 'ab'), keeping
+                            # py-mode consistent with the RE2 \A(?:...)\z modes
+                            m = rx.fullmatch(line)
+                            if m is not None:
                                 tids[pos] = tpl.template_id
                                 gd = m.groupdict()
                                 varmaps[pos] = {k: v for k, v in gd.items() if v is not None}

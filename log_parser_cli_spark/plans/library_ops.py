@@ -224,10 +224,24 @@ def discover_with_refine(
     return {"library": library, "matches": matches, "pending": pending, "reports": reports}
 
 
+#: CSV NULL sentinel shared by the K2 writer and the eval-harness reader:
+#: rendered log text never contains NUL, so only this token round-trips as
+#: NULL and an empty string survives the write→read cycle as "" (Spark's
+#: default nullValue is the empty string, which would turn empty-text matches
+#: into NULLs that silently fall out of the alignment join).
+CSV_NULL = "\x00"
+
+
 def write_match_report(matched: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV match report (K2): raw_log, template_id, template_placeholder."""
     cols = [c for c in ("raw_log", "template_id", "template_placeholder") if c in matched.columns]
-    matched.select(*cols).write.mode(mode).option("header", True).csv(path)
+    (
+        matched.select(*cols)
+        .write.mode(mode)
+        .option("header", True)
+        .option("nullValue", CSV_NULL)
+        .csv(path)
+    )
 
 
 def write_conflict_report(conflicts: DataFrame, out_dir: str) -> str:

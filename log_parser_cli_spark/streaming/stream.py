@@ -79,6 +79,54 @@ def stream_replay(
     return writer.start()
 
 
+def latest_mapping_dir(mapping_root: str) -> str | None:
+    """Resolve the last fully-committed mapping version under ``mapping_root``.
+
+    The library is committed as ``v<batch_id>/`` parquet dirs plus a pointer
+    file ``LATEST`` that is updated LAST via atomic rename — so a crash at any
+    point leaves the pointer on a complete, _SUCCESS-stamped version and the
+    next batch resumes from it (never the bootstrap branch).
+    """
+    pointer = os.path.join(mapping_root, "LATEST")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        vdir = os.path.join(mapping_root, f.read().strip())
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        return None  # pointer target vanished (manual tampering) → bootstrap
+    return vdir
+
+
+def read_mapping(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the current template library of a ``stream_with_discovery`` run."""
+    vdir = latest_mapping_dir(os.path.join(out_dir, "mapping"))
+    if vdir is None:
+        raise FileNotFoundError(f"no committed mapping under {out_dir}/mapping")
+    return spark.read.parquet(vdir)
+
+
+def _commit_mapping(mapping: DataFrame, mapping_root: str, batch_id: int) -> None:
+    """Versioned-dir + pointer commit: write ``v<batch_id>``, fsync-rename the
+    pointer, then GC superseded versions. A retried batch overwrites its own
+    version dir and re-points — idempotent; a crash mid-write never moves the
+    pointer, so the accumulated library is never lost (the prior overwrite-in-
+    place scheme could drop it and silently renumber template ids)."""
+    import shutil
+
+    vname = f"v{batch_id:012d}"
+    vdir = os.path.join(mapping_root, vname)
+    mapping.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(mapping_root, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(vname)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mapping_root, "LATEST"))
+    for d in os.listdir(mapping_root):
+        if d.startswith("v") and d != vname and d < vname:
+            shutil.rmtree(os.path.join(mapping_root, d), ignore_errors=True)
+
+
 def stream_with_discovery(
     spark: SparkSession,
     fixture_dir: str,
@@ -90,19 +138,21 @@ def stream_with_discovery(
     """Streaming twin of the reference's EVOLVING state (T2): each micro-batch
     extends the template library with its novel signatures before routing.
 
-    The library lives as a parquet dir under ``out_dir`` and is
-    read-modify-written per batch (foreachBatch runs serially on the driver).
-    Extension is IDEMPOTENT — re-extending with already-known signatures is a
-    no-op — so an at-least-once batch retry converges to the same library,
-    and the routed sink stays exactly-once via batch_id-keyed overwrite.
-    Batch 1 bootstraps via full discovery; later batches only append
-    (pipeline.ts pre-match-then-discover, sqlite-template-manager.ts:79-85).
+    The library lives as versioned parquet dirs + a LATEST pointer under
+    ``out_dir/mapping`` (read via ``read_mapping``), committed atomically per
+    batch (foreachBatch runs serially on the driver). Extension is
+    IDEMPOTENT — re-extending with already-known signatures is a no-op — so an
+    at-least-once batch retry converges to the same library, and the routed
+    sink stays exactly-once via batch_id-keyed overwrite. Batch 1 bootstraps
+    via full discovery; later batches only append (pipeline.ts
+    pre-match-then-discover, sqlite-template-manager.ts:79-85).
     """
     from log_parser_cli_spark.plans.pipeline import discover_templates, extend_mapping
 
     vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
     seq_schema = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet")).schema
-    mapping_path = os.path.join(out_dir, "mapping")
+    mapping_root = os.path.join(out_dir, "mapping")
+    os.makedirs(mapping_root, exist_ok=True)
 
     stream = (
         spark.readStream.schema(seq_schema)
@@ -112,14 +162,15 @@ def stream_with_discovery(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_stage(spark, batch_df, vocab_rows, source_heads)
-        if os.path.exists(os.path.join(mapping_path, "_SUCCESS")):
-            frozen = spark.read.parquet(mapping_path)
+        committed = latest_mapping_dir(mapping_root)
+        if committed is not None:
+            frozen = spark.read.parquet(committed)
             mapping = extend_mapping(spark, frozen, parsed)
         else:
             mapping = discover_templates(spark, parsed)
-        rows = mapping.collect()  # library is tiny; pin before overwriting its source
+        rows = mapping.collect()  # library is tiny; pin before writing
         mapping = spark.createDataFrame(rows, mapping.schema)
-        mapping.write.mode("overwrite").parquet(mapping_path)
+        _commit_mapping(mapping, mapping_root, batch_id)
         enriched = enrich_stage(parsed, mapping, sources_df)
         (
             enriched.select(

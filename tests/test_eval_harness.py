@@ -83,3 +83,49 @@ def test_fixture_labels_round_trip(spark, fixture_dir, tmp_path):
     assert got["hdfs"].predpure < 1.0  # merged clusters are impure
     for ds, r in got.items():
         assert 0 < r.coverage < 1.0 or ds == "__MACRO__"
+
+
+def test_degenerate_labeling_uses_bounded_distributed_path(spark, tmp_path):
+    """pred=line_no (cells ≈ rows) with a tiny driver-cell cap: the harness
+    must fall back to distributed per-dataset arithmetic and produce the SAME
+    metrics as the driver path (bounded driver memory, ADVICE/wrong #3)."""
+    rows = [(i, "ds", f"unique line {i}", str(i)) for i in range(1, 41)]
+    rows.append((41, "ds", "@@@ failed @@@", "__UNPARSED__"))
+    labeled = spark.createDataFrame(
+        rows, "line_no long, source string, rendered string, pred_id string"
+    )
+    gt = spark.createDataFrame(
+        [(i, "ds", f"unique line {i}", f"G{i % 4}") for i in range(1, 41)]
+        + [(41, "ds", "@@@ failed @@@", "X")],
+        "line_no long, source string, rendered string, event_id string",
+    )
+    out = str(tmp_path / "reports")
+    write_eval_reports(spark, labeled, out)
+    driver = {r.dataset: r for r in eval_from_reports(spark, out, gt).collect()}
+    dist = {
+        r.dataset: r
+        for r in eval_from_reports(spark, out, gt, max_driver_cells=5).collect()
+    }
+    assert set(driver) == set(dist) == {"ds", "__MACRO__"}
+    for ds in driver:
+        assert tuple(driver[ds]) == tuple(dist[ds]), ds
+
+
+def test_empty_rendered_line_survives_csv_round_trip(spark, tmp_path):
+    """An empty rendered string must round-trip through the matches CSV and
+    stay in the alignment join + coverage numerator (ADVICE: default CSV read
+    deserializes '' as NULL)."""
+    labeled = spark.createDataFrame(
+        [(1, "ds", "", "p1"), (2, "ds", "normal line", "p1")],
+        "line_no long, source string, rendered string, pred_id string",
+    )
+    gt = spark.createDataFrame(
+        [(1, "ds", "", "G"), (2, "ds", "normal line", "G")],
+        "line_no long, source string, rendered string, event_id string",
+    )
+    out = str(tmp_path / "reports")
+    write_eval_reports(spark, labeled, out)
+    got = {r.dataset: r for r in eval_from_reports(spark, out, gt).collect()}
+    # both rows aligned → perfect metrics AND full coverage (2/2, not 1/2)
+    assert got["ds"].ga == 1.0
+    assert got["ds"].coverage == 1.0

@@ -29,7 +29,7 @@ def test_derived_patterns_cover_exactly_head_matchable(spark, fixture_dir):
     """For every fixture source the derived pattern matches ALL head-matchable
     lines (100% coverage) and NO noise lines."""
     for src, rows in _gt_lines_by_source(spark, fixture_dir).items():
-        pattern, _, _ = refine_head_pattern(pool_lines([r.rendered for r in rows], 2000))
+        pattern, _, _ = refine_head_pattern(pool_lines([(r.line_no, r.rendered) for r in rows], 2000))
         assert pattern is not None, src
         rx = re.compile(pattern)
         for r in rows:
@@ -72,7 +72,7 @@ def test_derived_heads_are_dropin_for_parse_stage(spark, fixture_dir):
     per_src = _gt_lines_by_source(spark, fixture_dir)
     derived = {}
     for src, rows in per_src.items():
-        pattern, _, _ = refine_head_pattern(pool_lines([r.rendered for r in rows], 2000))
+        pattern, _, _ = refine_head_pattern(pool_lines([(r.line_no, r.rendered) for r in rows], 2000))
         derived[src] = (pattern, 1)
     vocab_rows = [
         (int(r.token_id), r.text)
@@ -114,3 +114,26 @@ def test_pipeline_with_derived_heads_matches_configured(spark, fixture_dir, pipe
 
 def test_jvm_dialect_conversion():
     assert to_jvm_pattern(r"^x (?P<content>.*)$") == r"^x (?<content>.*)$"
+
+
+def test_stride_pool_collect_twin_of_pool_lines(spark, fixture_dir):
+    """The distributed pool (map-side hash filter + residue-only sort) must
+    equal the pure-Python twin exactly, including when n > pool_size forces
+    the hash-thinned path — the oracle-portability contract."""
+    from log_parser_cli_spark.operators.head_derive import pool_lines, stride_pool_collect
+
+    gt = spark.read.parquet(os.path.join(fixture_dir, "ground_truth.parquet")).select(
+        "source", "line_no", "rendered"
+    )
+    pool_size = 50  # fixture sources have hundreds of rows → hash path
+    pools = stride_pool_collect(gt, "source", "line_no", ["rendered"], pool_size)
+    rows = sorted(gt.collect(), key=lambda r: r.line_no)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append((r.line_no, r.rendered))
+    assert set(pools) == set(per_src)
+    for src, items in per_src.items():
+        expect = pool_lines(items, pool_size)
+        got = [ln for _no, ln in pools[src]]
+        assert got == expect, src
+        assert 0 < len(got) <= pool_size

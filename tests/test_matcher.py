@@ -106,3 +106,23 @@ def test_full_line_anchoring(spark):
     )
     got = {r.doc_id: r.template_id for r in match_templates(spark, df, templates).collect()}
     assert got == {"d1": "t#1", "d2": None}
+
+
+def test_py_fallback_backtracks_into_end_anchor(spark):
+    """RE2-incompatible patterns (backrefs) run on the Python engine; the
+    full-line check must let backtracking pick a later alternative instead of
+    rejecting after the first unanchored match (ADVICE: rx.fullmatch, not
+    match()+end-length)."""
+    from log_parser_cli_spark.operators.matcher import _compile_one
+
+    # backreference forces the py engine; alt 1 matches a PREFIX of the line,
+    # alt 2 matches the whole line — only fullmatch backtracks into alt 2
+    pattern = r"(?P<a>x)(?P=a)|(?P<b>x)(?P=b)y"
+    assert _compile_one("t#1", pattern).mode == "py"
+    templates = [{"template_id": "t#1", "source": "s", "pattern": pattern, "created_at": 1}]
+    df = spark.createDataFrame(
+        [("d1", "s", "xxy"), ("d2", "s", "xx"), ("d3", "s", "xxz")],
+        "doc_id string, source string, content string",
+    )
+    got = {r.doc_id: r.template_id for r in match_templates(spark, df, templates).collect()}
+    assert got == {"d1": "t#1", "d2": "t#1", "d3": None}

@@ -63,7 +63,9 @@ def test_stream_with_discovery_evolves_library(spark, fixture_dir, pipeline_out,
     }
     assert s_counts == b_counts
     # library only grew: every routed template id appears in the final mapping
-    mapping = spark.read.parquet(os.path.join(out, "mapping"))
+    from log_parser_cli_spark.streaming.stream import read_mapping
+
+    mapping = read_mapping(spark, out)
     mapped_ids = {r.template_id for r in mapping.select("template_id").distinct().collect()}
     routed_ids = {
         r.template_id
@@ -88,3 +90,48 @@ def test_windowed_event_counts_batch_semantics(spark):
     assert got[("2024-01-01 00:00:00", "click")] == 2
     assert got[("2024-01-01 01:00:00", "click")] == 1
     assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_mapping_commit_survives_crash_mid_write(spark, tmp_path):
+    """A crash between the version-dir write and the pointer flip must leave
+    the previous library fully readable (ADVICE: the old overwrite-in-place
+    scheme lost the accumulated library and renumbered ids)."""
+    import shutil
+
+    from log_parser_cli_spark.streaming.stream import (
+        _commit_mapping,
+        latest_mapping_dir,
+        read_mapping,
+    )
+
+    root = str(tmp_path / "out" / "mapping")
+    os.makedirs(root)
+    m1 = spark.createDataFrame(
+        [("s", "sig1", "s#1", "alpha <*>")],
+        "source string, content_sig string, template_id string, template_star string",
+    )
+    _commit_mapping(m1, root, 0)
+    assert latest_mapping_dir(root).endswith("v000000000000")
+
+    # simulate a crash mid-write of batch 1: version dir half-written (no
+    # _SUCCESS), pointer never flipped
+    broken = os.path.join(root, "v000000000001")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert latest_mapping_dir(root).endswith("v000000000000")
+    got = read_mapping(spark, str(tmp_path / "out")).collect()
+    assert [(r.template_id, r.template_star) for r in got] == [("s#1", "alpha <*>")]
+
+    # the retried batch commits over its own dir and GCs the old version
+    shutil.rmtree(broken)
+    m2 = m1.unionByName(
+        spark.createDataFrame(
+            [("s", "sig2", "s#2", "beta <*>")],
+            "source string, content_sig string, template_id string, template_star string",
+        )
+    )
+    _commit_mapping(m2, root, 1)
+    assert latest_mapping_dir(root).endswith("v000000000001")
+    assert not os.path.exists(os.path.join(root, "v000000000000"))
+    assert read_mapping(spark, str(tmp_path / "out")).count() == 2

@@ -78,6 +78,31 @@ def main() -> int:
         )
     )
 
+    # head-derive pool: broadcast step join + map-side hash filter; the only
+    # sort (for the window rank) runs on the filtered residue, and the big
+    # side never exchanges before the filter
+    from pyspark.sql import Window
+
+    gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet")).select(
+        "source", "line_no", "rendered"
+    )
+    steps = spark.createDataFrame([("apache", 3), ("hdfs", 2)], "_g string, _step long")
+    h32 = "CAST(conv(substr(md5(concat('pool|', CAST(line_no AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    pool = (
+        gt.join(F.broadcast(steps), F.col("source") == F.col("_g"))
+        .filter(F.expr(h32) % F.col("_step") == 0)
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("source").orderBy("line_no")))
+        .filter(F.col("_rn") <= 2000)
+    )
+    sections.append(
+        (
+            "head-derive pool (broadcast steps → map-side hash filter → residue-only rank)",
+            plan_of(pool),
+            ["BroadcastHashJoin", "md5"],
+            ["CartesianProduct", "SortMergeJoin"],
+        )
+    )
+
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     sh_pairs = simhash_pairs(simhash(docs, "doc_id", "text"))
     sections.append(
