@@ -492,13 +492,47 @@ def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pigeonhole-sound parameterization: chunks (4) > max_hamming (3), so EVERY
+# pair within the advertised radius shares ≥1 exact chunk (simhash_pairs
+# enforces this; simhash_recall proves recall == 1.0 vs brute force).
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4
+
+
 def q_dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.dedup import simhash, simhash_pairs
 
     docs = spark.read.parquet(_tbl(sf_dir, "documents"))
     fp = simhash(docs, "doc_id", "text")
-    return simhash_pairs(fp, max_hamming=8).select(
+    return simhash_pairs(fp, max_hamming=SIMHASH_MAX_HAMMING, chunks=SIMHASH_CHUNKS).select(
         F.col("a").cast("long"), F.col("b").cast("long"), F.col("hamming").cast("long")
+    )
+
+
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-recall gate: chunk banding must reproduce EVERY brute-force
+    pair at the advertised radius — recall exactly 1.0, a hard guarantee
+    (contrast ann_ivf_recall's approximate 0.9). The brute-force side is the
+    test-scale baseline only; the scale path is the banded query."""
+    from log_parser_cli_spark.extras.dedup import (
+        simhash,
+        simhash_bruteforce_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    fp = simhash(docs, "doc_id", "text")
+    banded = simhash_pairs(fp, max_hamming=SIMHASH_MAX_HAMMING, chunks=SIMHASH_CHUNKS).select("a", "b")
+    brute = simhash_bruteforce_pairs(fp, SIMHASH_MAX_HAMMING).select("a", "b")
+    return (
+        brute.agg(F.count("*").alias("n_pairs_exact"))
+        .crossJoin(banded.agg(F.count("*").alias("n_pairs_banded")))
+        .crossJoin(banded.join(brute, ["a", "b"]).agg(F.count("*").alias("n_hit")))
+        .select(
+            F.col("n_pairs_exact").cast("long").alias("n_pairs_exact"),
+            F.col("n_pairs_banded").cast("long").alias("n_pairs_banded"),
+            F.round(F.col("n_hit") / F.col("n_pairs_exact"), 6).alias("recall"),
+        )
     )
 
 
@@ -543,6 +577,11 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(approx, exact, k=10)
 
 
+RHP_PLANES = 60
+RHP_ROWS_PER_BAND = 3
+RHP_THRESHOLD = 0.4
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidates → exact cosine verify (no
     corpus×corpus join; candidate shuffles are keyed on band buckets)."""
@@ -550,8 +589,32 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
     dim = len(emb.select("embedding").first()[0])
-    cands = rhp_candidates(emb, dim=dim, n_planes=60, rows_per_band=3)
-    return cosine_pairs(emb, threshold=0.4, candidates=cands)
+    cands = rhp_candidates(emb, dim=dim, n_planes=RHP_PLANES, rows_per_band=RHP_ROWS_PER_BAND)
+    return cosine_pairs(emb, threshold=RHP_THRESHOLD, candidates=cands)
+
+
+def q_rhp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the hyperplane-LSH plan vs brute-force all-pairs
+    cosine at the same threshold (the ann_ivf_recall pattern for
+    embedding_dedup). Measured 1.0 at 60 planes / 3 rows-per-band on the
+    synthetic corpus; the brute-force side is test-scale only."""
+    from log_parser_cli_spark.extras.similarity import cosine_pairs, rhp_candidates
+
+    emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
+    dim = len(emb.select("embedding").first()[0])
+    cands = rhp_candidates(emb, dim=dim, n_planes=RHP_PLANES, rows_per_band=RHP_ROWS_PER_BAND)
+    lsh = cosine_pairs(emb, threshold=RHP_THRESHOLD, candidates=cands).select("a", "b")
+    exact = cosine_pairs(emb, threshold=RHP_THRESHOLD).select("a", "b")
+    return (
+        exact.agg(F.count("*").alias("n_pairs_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_pairs_lsh")))
+        .crossJoin(lsh.join(exact, ["a", "b"]).agg(F.count("*").alias("n_hit")))
+        .select(
+            F.col("n_pairs_exact").cast("long").alias("n_pairs_exact"),
+            F.col("n_pairs_lsh").cast("long").alias("n_pairs_lsh"),
+            F.round(F.col("n_hit") / F.col("n_pairs_exact"), 6).alias("recall"),
+        )
+    )
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +719,8 @@ QUERIES = {
     "dedup_jaccard_docs": q_dedup_jaccard_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
+    "simhash_recall": q_simhash_recall,
+    "rhp_recall": q_rhp_recall,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -732,7 +797,9 @@ cands AS (
 """
 
 
-def _simhash_sql(max_hamming: int = 8, chunks: int = 4, bits: int = 60) -> str:
+def _simhash_fp_banded_cte(chunks: int = 4, bits: int = 60) -> str:
+    """Shared CTE body: words → 60-bit SimHash fingerprints → chunk banding
+    (used by the banded-pairs oracle AND the recall oracle)."""
     width = bits // chunks
     mask = (1 << width) - 1
     bit_sum_cols = ", ".join(
@@ -747,13 +814,18 @@ def _simhash_sql(max_hamming: int = 8, chunks: int = 4, bits: int = 60) -> str:
     )
     h = H32.format(x="concat('sh|', word)")
     return f"""
-WITH w AS (
+w AS (
   SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS word FROM documents
 ),
 hashed AS (SELECT doc, {h} AS h FROM w),
 bitsums AS (SELECT doc, {bit_sum_cols} FROM hashed GROUP BY doc),
 fp AS (SELECT doc, {fp_expr} AS simhash FROM bitsums),
-banded AS ({chunk_selects})
+banded AS ({chunk_selects})"""
+
+
+def _simhash_sql(max_hamming: int = 3, chunks: int = 4, bits: int = 60) -> str:
+    return f"""
+WITH {_simhash_fp_banded_cte(chunks, bits)}
 SELECT DISTINCT CAST(x.doc AS BIGINT) AS a, CAST(y.doc AS BIGINT) AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM banded x JOIN banded y USING (chunk, val)
@@ -761,14 +833,35 @@ WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
+def _simhash_recall_sql(max_hamming: int = 3, chunks: int = 4, bits: int = 60) -> str:
+    """Banded pairs vs brute-force all-pairs at the same radius — recall must
+    be exactly 1.0 (pigeonhole: chunks > max_hamming)."""
+    return f"""
+WITH {_simhash_fp_banded_cte(chunks, bits)},
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y USING (chunk, val)
+  WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+),
+brute AS (
+  SELECT x.doc AS a, y.doc AS b
+  FROM fp x JOIN fp y ON x.doc < y.doc
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+)
+SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_pairs_exact,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_pairs_banded,
+       round(CAST((SELECT count(*) FROM cand JOIN brute USING (a, b)) AS DOUBLE)
+             / (SELECT count(*) FROM brute), 6) AS recall
+"""
+
+
 def _dlit(vec: list[float]) -> str:
     return "[" + ",".join(repr(v) for v in vec) + "]::DOUBLE[]"
 
 
-def _rhp_dedup_sql(threshold: float, dim: int, n_planes: int = 60, rows_per_band: int = 3) -> str:
-    """Random-hyperplane LSH candidates → exact cosine verify — the DuckDB
-    twin of q_embedding_dedup (identical hyperplane literals ⇒ identical
-    candidate set ⇒ identical verified pairs)."""
+def _rhp_banded_cte(dim: int, n_planes: int = 60, rows_per_band: int = 3) -> str:
+    """Shared CTE body: hyperplane sign-bit band signatures + candidate pairs
+    (identical hyperplane literals to the Spark side ⇒ identical candidates)."""
     from log_parser_cli_spark.extras.similarity import hyperplanes
 
     planes = hyperplanes(n_planes, dim)
@@ -783,15 +876,44 @@ def _rhp_dedup_sql(threshold: float, dim: int, n_planes: int = 60, rows_per_band
         for b in range(n_bands)
     )
     return f"""
-WITH banded AS ({band_selects}),
+banded AS ({band_selects}),
 cands AS (
   SELECT DISTINCT x.doc AS a, y.doc AS b
   FROM banded x JOIN banded y USING (band, val) WHERE x.doc < y.doc
-)
+)"""
+
+
+def _rhp_dedup_sql(threshold: float, dim: int, n_planes: int = 60, rows_per_band: int = 3) -> str:
+    """Random-hyperplane LSH candidates → exact cosine verify — the DuckDB
+    twin of q_embedding_dedup."""
+    return f"""
+WITH {_rhp_banded_cte(dim, n_planes, rows_per_band)}
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
 FROM cands JOIN embeddings x ON x.vec_id = a JOIN embeddings y ON y.vec_id = b
 WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
+"""
+
+
+def _rhp_recall_sql(threshold: float, dim: int, n_planes: int = 60, rows_per_band: int = 3) -> str:
+    """LSH-verified pairs vs brute-force all-pairs cosine at the same
+    threshold — the DuckDB twin of q_rhp_recall."""
+    return f"""
+WITH {_rhp_banded_cte(dim, n_planes, rows_per_band)},
+lsh AS (
+  SELECT a, b
+  FROM cands JOIN embeddings x ON x.vec_id = a JOIN embeddings y ON y.vec_id = b
+  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
+),
+exact AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_pairs_exact,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_pairs_lsh,
+       round(CAST((SELECT count(*) FROM lsh JOIN exact USING (a, b)) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall
 """
 
 
@@ -1133,7 +1255,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_docs": _simhash_cands_jaccard_sql(0.3),
         "dedup_minhash_docs": _minhash_sql(0.3),
-        "dedup_simhash_docs": _simhash_sql(8),
+        "dedup_simhash_docs": _simhash_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
+        "simhash_recall": _simhash_recall_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
             scored AS (
@@ -1152,7 +1275,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         **(
             {
-                "embedding_dedup": _rhp_dedup_sql(0.4, _emb_dim),
+                "embedding_dedup": _rhp_dedup_sql(RHP_THRESHOLD, _emb_dim, RHP_PLANES, RHP_ROWS_PER_BAND),
+                "rhp_recall": _rhp_recall_sql(RHP_THRESHOLD, _emb_dim, RHP_PLANES, RHP_ROWS_PER_BAND),
                 "ann_ivf": (
                     "WITH "
                     + _ivf_core_sql(_centroids, ANN_QUERY_IDS, IVF_NPROBE, 10)[1:]

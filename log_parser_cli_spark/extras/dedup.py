@@ -207,8 +207,19 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataF
 
     With ``chunks`` > ``max_hamming`` any pair within distance shares ≥1 exact
     chunk, so candidates come from equi-joins on chunk values — never an
-    all-pairs cross join.
+    all-pairs cross join. The guarantee is enforced: a radius ≥ chunks would
+    silently drop pairs that differ in every chunk (recall hole), so such
+    parameterizations raise instead of advertising semantics they can't keep.
+    ``simhash_recall`` in the query suite verifies recall == 1.0 vs the
+    brute-force baseline.
     """
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole banding needs chunks > max_hamming "
+            f"(got chunks={chunks}, max_hamming={max_hamming}): a pair at "
+            f"distance {chunks}..{max_hamming} can differ in all {chunks} "
+            f"chunks and would be silently missed"
+        )
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     banded = fp.select(
@@ -236,5 +247,21 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataF
             F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_bruteforce_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All pairs within Hamming ≤ ``max_hamming`` by a full self-join — the
+    recall BASELINE for the ``simhash_recall`` check at test scale only
+    (quadratic in corpus size; the scale path is ``simhash_pairs``)."""
+    return (
+        fp.alias("x")
+        .join(fp.alias("y"), F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )

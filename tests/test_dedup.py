@@ -81,10 +81,49 @@ def test_simhash_hamming(spark, docs):
     fp = simhash(docs, "doc_id", "text")
     by_doc = {r.doc: r.simhash for r in fp.collect()}
     assert by_doc[1] == by_doc[3]  # identical text → identical fingerprint
-    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(fp, max_hamming=10).collect()}
+    # radius 10 needs > 10 chunks for the pigeonhole guarantee (12 × 5-bit)
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_pairs(fp, max_hamming=10, chunks=12).collect()
+    }
     assert pairs.get((1, 3)) == 0
     assert (1, 2) in pairs  # near-dup within small hamming distance
     assert (1, 4) not in pairs
+
+
+def test_simhash_pairs_rejects_recall_hole(docs):
+    """chunks ≤ max_hamming voids the pigeonhole guarantee — must raise, not
+    silently drop pairs that differ in every chunk."""
+    import pytest
+
+    fp = simhash(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="chunks > max_hamming"):
+        simhash_pairs(fp, max_hamming=8, chunks=4)
+
+
+def test_simhash_banding_recall_is_total(spark, docs):
+    """Pigeonhole recall check at unit scale: banded pairs == brute-force
+    pairs at the same radius."""
+    import pyspark.sql.functions as F
+
+    fp = simhash(docs, "doc_id", "text").cache()
+    banded = {
+        (r.a, r.b) for r in simhash_pairs(fp, max_hamming=3, chunks=4).collect()
+    }
+    brute = {
+        (r.x, r.y)
+        for r in fp.alias("p")
+        .join(fp.alias("q"), F.col("p.doc") < F.col("q.doc"))
+        .select(
+            F.col("p.doc").alias("x"),
+            F.col("q.doc").alias("y"),
+            F.bit_count(F.expr("p.simhash ^ q.simhash")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    fp.unpersist()
+    assert banded == brute
 
 
 def test_simhash_pairs_no_crossjoin(spark, docs):
