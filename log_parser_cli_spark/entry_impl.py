@@ -463,6 +463,47 @@ def q_mapping_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.unpersist()
 
 
+# Overbroad seed for the refine-machine gate: created_at=0 gives it top
+# precedence, so it initially owns EVERY apache signature; integrating the
+# real Drain candidates must conflict against its stored samples, delete it,
+# and re-queue its rows (pipeline.ts:355-451,561-612).
+REFINE_SEED = {
+    "template_id": "apache#0seed",
+    "source": "apache",
+    "pattern": r"(?P<v1>.*)",
+    "created_at": 0,
+    "template_star": "<*>",
+}
+
+
+def q_pipeline_with_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline with the conflict→delete→requeue machine wired in
+    (run_pipeline(refine=True) / CLI --refine): an injected overbroad seed
+    template ends up deleted and the final per-(source, star) clustering still
+    equals ground truth exactly — the refine machine recovers from a poisoned
+    carried-over library without help."""
+    from log_parser_cli_spark.datagen import GEN_VERSION
+    from log_parser_cli_spark.plans.pipeline import run_pipeline
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(_runs_base(), f"{sf_name}-refine-v{ENGINE_VERSION}.{GEN_VERSION}")
+    run_pipeline(
+        spark,
+        fx,
+        out_dir,
+        run_id=f"refine-{sf_name}",
+        resume=True,
+        refine=True,
+        seed_library=[dict(REFINE_SEED)],
+    )
+    return (
+        spark.read.parquet(os.path.join(out_dir, "sink_counts"))
+        .groupBy("source", "template_star")
+        .agg(F.sum("n_sequences").cast("long").alias("n_sequences"))
+    )
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.dedup import exact_dup_stats
 
@@ -715,6 +756,7 @@ QUERIES = {
     "library_upsert": q_library_upsert,
     "orphan_requeue": q_orphan_requeue,
     "mapping_evolution": q_mapping_evolution,
+    "pipeline_with_refine": q_pipeline_with_refine,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_jaccard_docs": q_dedup_jaccard_docs,
     "dedup_minhash_docs": q_dedup_minhash_docs,
@@ -1188,6 +1230,10 @@ def build_oracle_sql() -> dict[str, str]:
                    1.0 AS pa_friendly, 1.0 AS purecoverage
         """,
         "mapping_evolution": f"""
+            SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
+            FROM '{gt}' GROUP BY 1, 2
+        """,
+        "pipeline_with_refine": f"""
             SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
             FROM '{gt}' GROUP BY 1, 2
         """,

@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="export the discovered clusters as a regex template library")
     ap.add_argument("--infer-sources", action="store_true",
                     help="route NULL/empty-source rows by head-pattern vote before parsing")
+    ap.add_argument("--refine", action="store_true",
+                    help="run discovery through the conflict→delete→requeue candidate queue")
     args = ap.parse_args(argv)
 
     from log_parser_cli_spark.plans.pipeline import run_pipeline
@@ -67,8 +69,21 @@ def main(argv: list[str] | None = None) -> int:
         mapping_df=mapping_df,
         derive_heads=args.derive_heads,
         infer_missing_sources=args.infer_sources,
+        refine=args.refine,
     )
     wall = time.time() - t0
+    if args.refine:
+        report_path = os.path.join(args.out, "refine_reports.json")
+        if os.path.exists(report_path):
+            import json
+
+            with open(report_path) as f:
+                reports = json.load(f)
+            deleted = sorted({d for r in reports for d in r["deleted_ids"]})
+            print(
+                f"refine: {sum(1 for r in reports if r['accepted'])}/{len(reports)} "
+                f"candidates accepted, deleted={deleted}"
+            )
 
     import pyspark.sql.functions as F
 

@@ -127,6 +127,7 @@ def integrate_template(
     max_iterations: int = 5,
     samples_per_template: int = 20,
     refine_fn=None,
+    sample_scope_col: str | None = None,
 ) -> dict:
     """The reference's discovery state machine for ONE candidate template:
     conflict check → delete conflicting templates → re-queue their orphans →
@@ -140,6 +141,9 @@ def integrate_template(
     for the reference's LLM RefineAgent; default keeps the candidate unchanged
     and relies on conflict deletion (deleted templates release their samples,
     so the re-check converges).
+    ``sample_scope_col``: restrict conflict samples to rows whose value in
+    this column equals the candidate's (the reference's per-library conflict
+    scope — an apache candidate is never checked against hdfs samples).
 
     Returns {library, matches, pending, accepted, deleted_ids, iterations}.
     Discovery-time driver loop over bounded data — the scored fact stream
@@ -149,7 +153,12 @@ def integrate_template(
 
     deleted_all: list[str] = []
     for iteration in range(max_iterations):
-        samples = capped_samples(matches, samples_per_template, content_col, id_col)
+        scoped = (
+            matches.filter(F.col(sample_scope_col) == candidate[sample_scope_col])
+            if sample_scope_col is not None
+            else matches
+        )
+        samples = capped_samples(scoped, samples_per_template, content_col, id_col)
         conflicts = detect_conflicts(
             samples, candidate["template_id"], candidate["pattern"], content_col
         ).collect()
@@ -192,12 +201,21 @@ def integrate_template(
     }
 
 
+def _pin(spark, df: DataFrame) -> DataFrame:
+    """Re-materialize a tiny state DataFrame from its collected rows — keeps
+    the threaded-state lineage flat across queue iterations (the state is
+    signature-cardinality by contract; an ever-growing union/filter plan would
+    make analysis cost quadratic in queue length)."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def discover_with_refine(
     spark,
     library: list[dict],
     matches: DataFrame,
     pending: DataFrame,
     candidates: list[dict],
+    pin_state: bool = False,
     **integrate_kwargs,
 ) -> dict:
     """Iterative discovery over a candidate queue (pipeline.ts:130-165): each
@@ -206,6 +224,9 @@ def discover_with_refine(
     templates shrink the pending queue before the next candidate is tried
     (the reference's re-match-pending-after-persist, pipeline.ts:500-510).
 
+    ``pin_state=True`` re-materializes matches/pending after each candidate
+    (for long queues over signature-sized state — see ``_pin``).
+
     Returns {library, matches, pending, reports} where ``reports`` carries one
     per-candidate record (accepted, deleted_ids, iterations).
     """
@@ -213,6 +234,8 @@ def discover_with_refine(
     for cand in candidates:
         r = integrate_template(spark, library, matches, pending, cand, **integrate_kwargs)
         library, matches, pending = r["library"], r["matches"], r["pending"]
+        if pin_state:
+            matches, pending = _pin(spark, matches), _pin(spark, pending)
         reports.append(
             {
                 "template_id": cand["template_id"],

@@ -230,6 +230,83 @@ def extend_mapping(
     return frozen_mapping.unionByName(appended)
 
 
+def refine_mapping(
+    spark: SparkSession,
+    parsed: DataFrame,
+    mapping: DataFrame,
+    seed_library: list[dict] | None = None,
+    samples_per_template: int = 20,
+) -> tuple[DataFrame, list[dict]]:
+    """Route the discovered clusters through the reference's full
+    integrate → conflict → delete → re-queue machine (pipeline.ts:130-165,
+    355-451, 561-612) and return the refined signature mapping.
+
+    Spark-first shape: the state machine runs over the DISTINCT-SIGNATURE
+    dimension (cardinality ~templates, never the fact stream). Each signature
+    is represented by its first-seen content; candidates are the Drain
+    clusters exported as anchored regex templates (plans/export.py) in
+    discovery order; conflicts are checked against per-template stored samples
+    scoped to the candidate's source. After the queue drains, the FINAL
+    library re-matches every signature representative — the reference's
+    replay-vs-final-library semantics — so orphans re-queued after their
+    rightful template was already integrated still land correctly. Signatures
+    no surviving template matches get no mapping row (→ UNMATCHED, the
+    unresolved-samples path, pipeline.ts:451-456).
+
+    ``seed_library``: pre-existing template dicts (template_id, source,
+    pattern, created_at, template_star) — e.g. a carried-over library whose
+    overbroad entries the machine should detect and delete.
+
+    Returns (refined mapping DataFrame, per-candidate reports).
+    """
+    from log_parser_cli_spark.operators.matcher import match_templates
+    from log_parser_cli_spark.plans.export import export_template_library
+    from log_parser_cli_spark.plans.library_ops import discover_with_refine
+
+    sig_df = (
+        parsed.filter(F.col("head_matched"))
+        .groupBy("source", "content_sig")
+        .agg(F.min(F.struct("doc_id", "content")).alias("_f"))
+        .select(
+            F.col("_f.doc_id").alias("doc_id"),
+            "source",
+            "content_sig",
+            F.col("_f.content").alias("content"),
+        )
+    )
+    enriched_sigs = sig_df.join(F.broadcast(mapping), ["source", "content_sig"])
+    candidates = export_template_library(spark, enriched_sigs)
+    candidates.sort(key=lambda t: (t["source"], t["created_at"], t["template_id"]))
+
+    library = [dict(t) for t in (seed_library or [])]
+    base = sig_df.select("doc_id", "source", "content_sig", "content")
+    seeded = match_templates(spark, base, library)
+    matches = seeded.filter(F.col("template_id").isNotNull())
+    pending = seeded.filter(F.col("template_id").isNull()).drop("template_id", "variables")
+    res = discover_with_refine(
+        spark,
+        library,
+        matches,
+        pending,
+        candidates,
+        pin_state=True,
+        samples_per_template=samples_per_template,
+        sample_scope_col="source",
+    )
+    final = match_templates(spark, base, res["library"], version=1)
+    star_of = {t["template_id"]: t.get("template_star", "") for t in res["library"]}
+    rows = [
+        (r["source"], r["content_sig"], r["template_id"], star_of.get(r["template_id"], ""))
+        for r in final.filter(F.col("template_id").isNotNull())
+        .select("source", "content_sig", "template_id")
+        .collect()
+    ]
+    refined = spark.createDataFrame(
+        rows, "source string, content_sig string, template_id string, template_star string"
+    )
+    return refined, res["reports"]
+
+
 def enrich_stage(parsed: DataFrame, mapping: DataFrame, sources_df: DataFrame) -> DataFrame:
     """Broadcast-join enrichment (J1): signature → template, source → sink.
 
@@ -396,6 +473,8 @@ def run_pipeline(
     checkpoint_parse: bool = True,
     derive_heads: bool = False,
     infer_missing_sources: bool = False,
+    refine: bool = False,
+    seed_library: list[dict] | None = None,
 ) -> PipelineResult:
     """Full parse → enrich → route → aggregate job.
 
@@ -411,6 +490,10 @@ def run_pipeline(
     manager.ts:31-213) before parsing.
     ``infer_missing_sources=True`` routes NULL/empty-source rows to a library
     by head-pattern vote before parsing (the reference's routing step, §3.1a).
+    ``refine=True`` routes the discovered clusters through the full
+    conflict→delete→requeue candidate queue (``refine_mapping``) before
+    routing, optionally against a carried-over ``seed_library``; per-candidate
+    reports land in ``out_dir/refine_reports.json``.
     """
     result = PipelineResult(out_dir=out_dir)
     manifest = Manifest(out_dir, run_id)
@@ -465,8 +548,20 @@ def run_pipeline(
 
         def do_discover():
             mapping = discover_templates(spark, parsed)
+            info: dict = {}
+            if refine:
+                import json as _json
+
+                mapping, reports = refine_mapping(
+                    spark, parsed, mapping, seed_library=seed_library
+                )
+                with open(os.path.join(out_dir, "refine_reports.json"), "w") as f:
+                    _json.dump(reports, f, indent=1)
+                info["refine_accepted"] = sum(1 for r in reports if r["accepted"])
+                info["refine_deleted"] = sorted({d for r in reports for d in r["deleted_ids"]})
             mapping.write.mode("overwrite").parquet(mapping_path)
-            return {"templates": mapping.select("template_id").distinct().count()}
+            info["templates"] = mapping.select("template_id").distinct().count()
+            return info
 
         stage("discover", do_discover)
         mapping_df_local = spark.read.parquet(mapping_path)
