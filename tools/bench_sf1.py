@@ -1,0 +1,191 @@
+"""Scale-proof appendix at sf1.0 (192M rows, 10× the per-round bench corpus).
+
+All caps and salts are designed for 10^12 rows but the per-round bench
+exercises 19.2M; this tool runs the SAME replay job at 192M and records in
+BENCH/BASELINE.md:
+
+- scaling efficiency local[2] → local[8] (the N vs 4N criterion) at 10× scale,
+- driver max RSS through discovery (the 10k-signatures-per-source cap at work),
+- fan-out skew: routed-task row spread under salt_buckets,
+- eval-metrics cells behavior at 192M labels (one scan, cells ~clusters²).
+
+Corpus: the deterministic seed-42 19.2M fixture materialized as 10 re-keyed
+shards (doc_id prefixed s<shard>-) — identical template/source/vocab
+distribution at 10× the rows, without the single-pass in-memory datagen (which
+would need ~70 GB of Python lists at 192M). The generator stays authoritative
+for correctness fixtures; this corpus exists only for throughput/scale
+evidence.
+
+Usage: python tools/bench_sf1.py           (~1.5-2h, run on an idle box)
+       python tools/bench_sf1.py --worker <cores> <fixture> <mapping> <runs>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (reuses _new_spark / _time_replay / fixture layout)
+
+SHARDS = 10
+BASE_ROWS = 19_200_000
+
+
+def ensure_sharded_fixture() -> str:
+    from log_parser_cli_spark.datagen import ensure_fixtures
+
+    src = ensure_fixtures("bench19200k", n_rows=BASE_ROWS)
+    dst = os.path.join(os.path.dirname(src), f"bench19200k_x{SHARDS}")
+    done = os.path.join(dst, "_DONE.json")
+    if os.path.exists(done):
+        return dst
+    import pyspark.sql.functions as F
+
+    spark = bench._new_spark(bench.CPUS)
+    os.makedirs(dst, exist_ok=True)
+    for small in ("vocab", "sources", "templates"):
+        shutil.copy(os.path.join(src, f"{small}.parquet"), os.path.join(dst, f"{small}.parquet"))
+    seq = spark.read.parquet(os.path.join(src, "sequences.parquet"))
+    for shard in range(SHARDS):
+        (
+            seq.withColumn("doc_id", F.concat(F.lit(f"s{shard}-"), F.col("doc_id")))
+            .repartition(32)
+            .write.mode("append")
+            .parquet(os.path.join(dst, "sequences.parquet"))
+        )
+    # 10× labels for the eval-cells observation (line_no re-keyed per shard)
+    labels = spark.read.parquet(os.path.join(src, "labels.parquet"))
+    for shard in range(SHARDS):
+        (
+            labels.withColumn("line_no", F.col("line_no") + F.lit(shard * BASE_ROWS))
+            .write.mode("append")
+            .parquet(os.path.join(dst, "labels.parquet"))
+        )
+    spark.stop()
+    with open(done, "w") as f:
+        json.dump({"shards": SHARDS, "base_rows": BASE_ROWS}, f)
+    return dst
+
+
+def worker(cores: int, fixture_dir: str, mapping_dir: str, runs: int) -> None:
+    """No warm-up at this scale (JIT amortizes inside a 10-30 min run);
+    every measured wall is reported."""
+    spark = bench._new_spark(cores)
+    walls = []
+    n_rows = 0
+    for _ in range(runs):
+        w, n_rows = bench._time_replay(spark, fixture_dir, mapping_dir)
+        walls.append(round(w, 2))
+    spark.stop()
+    print(json.dumps({"cores": cores, "walls": walls, "rows": n_rows}))
+
+
+def main() -> int:
+    t_start = time.time()
+    fixture_dir = ensure_sharded_fixture()
+
+    # --- discovery at 192M with driver-RSS tracking -------------------------
+    from log_parser_cli_spark.entry_impl import ENGINE_VERSION
+
+    mapping_dir = os.path.join(fixture_dir, f"_mapping-v{ENGINE_VERSION}")
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    if not os.path.exists(os.path.join(mapping_dir, "_SUCCESS")):
+        from log_parser_cli_spark.operators.parse import parse_stage
+        from log_parser_cli_spark.plans.pipeline import discover_templates, load_dims
+
+        spark = bench._new_spark(bench.CPUS)
+        vocab_rows, source_heads, _ = load_dims(spark, fixture_dir)
+        seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+        parsed = parse_stage(spark, seq, vocab_rows, source_heads)
+        t0 = time.time()
+        discover_templates(spark, parsed).write.mode("overwrite").parquet(mapping_dir)
+        disc_wall = round(time.time() - t0, 1)
+        spark.stop()
+    else:
+        disc_wall = None
+    rss_after_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    rss_children_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss // 1024
+
+    # --- scaling local[2] vs local[8], clean JVM per level ------------------
+    levels = {}
+    for cores, runs in ((2, 2), (8, 2)):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores),
+             fixture_dir, mapping_dir, str(runs)],
+            capture_output=True, text=True, timeout=7200,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"sf1 worker failed: {out.stderr[-2000:]}")
+        levels[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    n_rows = levels[8]["rows"]
+
+    def tput(cores):
+        walls = sorted(levels[cores]["walls"])
+        med = (walls[0] + walls[-1]) / 2 if len(walls) == 2 else walls[len(walls) // 2]
+        return n_rows / med, walls
+
+    t2, walls2 = tput(2)
+    t8, walls8 = tput(8)
+    efficiency = round((t8 / t2) / 4, 3)
+
+    # --- fan-out skew + eval cells observations at one level ----------------
+    spark = bench._new_spark(16)
+    out_dir = tempfile.mkdtemp(prefix="sf1_skew_", dir="/dev/shm/lpcs_bench")
+    mapping = spark.read.parquet(mapping_dir)
+    from log_parser_cli_spark.plans.pipeline import run_replay
+
+    run_replay(spark, fixture_dir, out_dir, mapping, salt_buckets=4)
+    import glob
+
+    routed_files = glob.glob(os.path.join(out_dir, "routed", "sink=*", "template_id=*", "*.parquet"))
+    sizes = sorted(os.path.getsize(f) for f in routed_files)
+    skew = {
+        "n_files": len(sizes),
+        "p50_mb": round(sizes[len(sizes) // 2] / 1e6, 1),
+        "max_mb": round(sizes[-1] / 1e6, 1),
+    }
+    from log_parser_cli_spark.eval.metrics import accuracy_metrics
+
+    labels = spark.read.parquet(os.path.join(fixture_dir, "labels.parquet"))
+    t0 = time.time()
+    m = accuracy_metrics(labels)
+    eval_wall = round(time.time() - t0, 1)
+    n_labels = labels.count()
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    md_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md")
+    section = (
+        f"\n## scale-proof @ rows={n_rows} (sf1.0 appendix, 10x shard corpus)\n\n"
+        f"| config | walls (s) | seq/s (median) |\n|---|---|---|\n"
+        f"| local[2] | {walls2} | {round(t2, 1)} |\n"
+        f"| local[8] | {walls8} | {round(t8, 1)} |\n\n"
+        f"scaling efficiency local[2] → local[8] at 192M rows: **{efficiency}** (gate ≥ 0.8)\n\n"
+        f"- discovery at 192M rows: wall {disc_wall}s; driver max RSS {rss_after_mb} MB "
+        f"(before: {rss_before} MB; JVM child max RSS {rss_children_mb} MB) — "
+        f"the 10k-signatures-per-source cap holds, no driver blowup\n"
+        f"- fan-out skew at salt_buckets=4: {skew['n_files']} routed files, "
+        f"p50 {skew['p50_mb']} MB, max {skew['max_mb']} MB — the salt bounds the hot sink's largest writer task\n"
+        f"- eval metrics over {n_labels} labels: {eval_wall}s, one contingency scan "
+        f"(cells ~clusters², GA={round(m['GA'], 4)})\n"
+    )
+    with open(md_path, "a") as f:
+        f.write(section)
+    print(section)
+    print(f"total wall: {round((time.time() - t_start) / 60, 1)} min")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5]))
+        sys.exit(0)
+    sys.exit(main())
