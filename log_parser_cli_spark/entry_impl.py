@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from log_parser_cli_spark.datagen import ensure_fixtures, fixtures_for_sf_dir
 
 # Bump when pipeline logic changes so cached run dirs are invalidated.
-ENGINE_VERSION = 5
+ENGINE_VERSION = 6  # v6: routed sink is a snapshot-committed table (plans/snapshots.py)
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -66,7 +66,9 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_route_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, fx = pipeline_out_for(spark, sf_dir)
-    routed = spark.read.parquet(os.path.join(out, "routed")).select(
+    from log_parser_cli_spark.plans.pipeline import read_routed
+
+    routed = read_routed(spark, out).select(
         "doc_id", F.col("tokens").alias("routed_tokens")
     )
     seq = spark.read.parquet(os.path.join(fx, "sequences.parquet")).select("doc_id", "tokens")
@@ -96,7 +98,9 @@ def q_pipeline_ntok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _ = pipeline_out_for(spark, sf_dir)
-    routed = spark.read.parquet(os.path.join(out, "routed"))
+    from log_parser_cli_spark.plans.pipeline import read_routed
+
+    routed = read_routed(spark, out)
     return (
         routed.withColumn(
             "var_chars",
@@ -322,7 +326,9 @@ def q_pipeline_eval_vs_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.eval.metrics import accuracy_metrics
 
     out, fx = pipeline_out_for(spark, sf_dir)
-    routed = spark.read.parquet(os.path.join(out, "routed")).select(
+    from log_parser_cli_spark.plans.pipeline import read_routed
+
+    routed = read_routed(spark, out).select(
         "doc_id", F.col("template_id").alias("pred_id")
     )
     gt = spark.read.parquet(os.path.join(fx, "ground_truth.parquet")).select(

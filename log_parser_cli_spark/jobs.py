@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="run discovery through the conflict→delete→requeue candidate queue")
     args = ap.parse_args(argv)
 
-    from log_parser_cli_spark.plans.pipeline import run_pipeline
+    from log_parser_cli_spark.plans.pipeline import read_routed, run_pipeline
     from log_parser_cli_spark.session import get_spark
 
     spark = get_spark(app_name=f"lpcs-{args.run_id}", cores=args.cores)
@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         gt_path = os.path.join(args.fixtures, "ground_truth.parquet")
         if os.path.exists(gt_path):
             gt = spark.read.parquet(gt_path).select("line_no", "source", "rendered", "event_id")
-            routed = spark.read.parquet(f"{args.out}/routed")
+            routed = read_routed(spark, args.out)
             labeled = (
                 routed.select("doc_id", F.col("template_id").alias("pred_id"))
                 .withColumn(
@@ -156,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
         # feed the stats from the already-materialized routed output —
         # (content, word_vars) reconstruct from (template_star, variables),
         # so the token table is never re-parsed for this report
-        routed = spark.read.parquet(f"{args.out}/routed")
+        routed = read_routed(spark, args.out)
         path = write_overbroad_report(routed_for_overbroad(routed), args.out)
         print(f"overbroad report: {path}")
 

@@ -361,23 +361,54 @@ def route_stage(
     Salting: within one (sink, template_id) partition, rows spread over
     ``salt_buckets`` tasks keyed by hash(doc_id) — the hot source cannot
     serialize into one writer task. Original ``tokens`` ride along untouched.
+
+    The write is a SNAPSHOT COMMIT (plans/snapshots.py): data lands in an
+    immutable uniquely-named dir and becomes visible only when the manifest
+    links in atomically — SURVEY §2.1's Iceberg prescription for K1, vendored.
+    A crashed or concurrent re-route never leaves readers a half-written or
+    mixed fan-out; the previous snapshot stays readable until vacuumed.
     """
+    from log_parser_cli_spark.plans.snapshots import SnapshotTable
+
     routed_path = os.path.join(out_dir, "routed")
-    (
+    table = SnapshotTable(routed_path)
+    table.commit_overwrite(
         enriched.select(
             # content/content_sig are derivable (render+mask of tokens) — not
             # carried through the fan-out shuffle; tokens ride untouched.
             "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
             "template_star", "variables", "n_vars",
-        )
-        .repartition(
+        ).repartition(
             F.col("sink"), F.col("template_id"), F.pmod(F.hash("doc_id"), F.lit(salt_buckets))
-        )
-        .write.mode("overwrite")
-        .partitionBy("sink", "template_id")
-        .parquet(routed_path)
+        ),
+        partition_by=("sink", "template_id"),
     )
+    table.vacuum(keep_last=2)
     return routed_path
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current committed snapshot of a run's routed table; falls back to a
+    plain parquet read for non-snapshot layouts (the streaming sink's
+    batch_id-keyed dirs, pre-snapshot run dirs)."""
+    from log_parser_cli_spark.plans.snapshots import SnapshotTable
+
+    root = os.path.join(out_dir, "routed")
+    if SnapshotTable.is_snapshot_dir(root):
+        return SnapshotTable(root).read(spark)
+    return spark.read.parquet(root)
+
+
+def routed_data_dirs(out_dir: str) -> list[str]:
+    """Absolute physical dirs (sink=/template_id= roots) of the current routed
+    snapshot — for file-layout inspection (skew reports, tests)."""
+    from log_parser_cli_spark.plans.snapshots import SnapshotTable
+
+    root = os.path.join(out_dir, "routed")
+    if SnapshotTable.is_snapshot_dir(root):
+        table = SnapshotTable(root)
+        return [os.path.join(root, d) for d in table.manifest()["data_dirs"]]
+    return [root]
 
 
 def aggregate_stage(spark: SparkSession, routed: DataFrame, out_dir: str) -> dict[str, str]:
@@ -451,8 +482,8 @@ def run_replay(
         seq_df = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
     parsed = parse_stage(spark, seq_df, vocab_rows, source_heads)
     enriched = enrich_stage(parsed, mapping_df, sources_df)
-    routed_path = route_stage(enriched, out_dir, salt_buckets=salt_buckets)
-    routed = spark.read.parquet(routed_path)
+    route_stage(enriched, out_dir, salt_buckets=salt_buckets)
+    routed = read_routed(spark, out_dir)
     aggregate_stage(spark, routed, out_dir)
     counts = spark.read.parquet(os.path.join(out_dir, "sink_counts"))
     from pyspark.sql.functions import sum as _sum
@@ -574,11 +605,10 @@ def run_pipeline(
     def do_route():
         routed_path = route_stage(enriched, out_dir, salt_buckets=salt_buckets)
         if lineage:
-            _lineage(spark.read.parquet(routed_path), "route", run_id, out_dir, 0)
+            _lineage(read_routed(spark, out_dir), "route", run_id, out_dir, 0)
         return {"routed_path": routed_path}
 
     stage("route", do_route)
-    routed_path = os.path.join(out_dir, "routed")
 
     # -- stage 4: aggregate from the routed files. Counter-intuitive but
     #    measured: the aggregates touch 5 tiny columns, so a column-pruned
@@ -586,7 +616,7 @@ def run_pipeline(
     #    cheaper than re-deriving the enriched stream from the parse cache —
     #    and the gap widens at scale where the cache may not be resident.
     def do_aggregate():
-        return aggregate_stage(spark, spark.read.parquet(routed_path), out_dir)
+        return aggregate_stage(spark, read_routed(spark, out_dir), out_dir)
 
     stage("aggregate", do_aggregate)
     if not checkpoint_parse and parsed_cached is not None:

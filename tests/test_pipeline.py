@@ -5,6 +5,8 @@ import os
 
 import pyspark.sql.functions as F
 
+from log_parser_cli_spark.plans.pipeline import read_routed
+
 
 def test_sink_counts_match_ground_truth(spark, fixture_dir, pipeline_out):
     counts = spark.read.parquet(os.path.join(pipeline_out, "sink_counts"))
@@ -21,7 +23,7 @@ def test_sink_counts_match_ground_truth(spark, fixture_dir, pipeline_out):
 
 
 def test_routed_rows_byte_exact_token_equality(spark, fixture_dir, pipeline_out):
-    routed = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    routed = read_routed(spark, pipeline_out)
     seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
     assert routed.count() == seq.count()  # no row lost or duplicated
     joined = routed.select("doc_id", F.col("tokens").alias("routed_tokens")).join(
@@ -32,7 +34,7 @@ def test_routed_rows_byte_exact_token_equality(spark, fixture_dir, pipeline_out)
 
 
 def test_unparsed_rows_routed_to_failure_sink(spark, fixture_dir, pipeline_out):
-    routed = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    routed = read_routed(spark, pipeline_out)
     gt = spark.read.parquet(os.path.join(fixture_dir, "ground_truth.parquet"))
     n_noise = gt.filter(~F.col("head_matched")).count()
     assert n_noise > 0  # fixture must exercise the unparsed path
@@ -44,7 +46,7 @@ def test_unparsed_rows_routed_to_failure_sink(spark, fixture_dir, pipeline_out):
 
 
 def test_word_variable_extraction_matches_ground_truth(spark, fixture_dir, pipeline_out):
-    routed = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    routed = read_routed(spark, pipeline_out)
     gt = spark.read.parquet(os.path.join(fixture_dir, "ground_truth.parquet"))
     mine = routed.select(
         "doc_id",
@@ -84,11 +86,14 @@ def test_lineage_metrics_written(spark, pipeline_out):
 
 
 def test_routed_partition_layout(pipeline_out):
-    """Fan-out write is physically partitioned by sink and template_id (K1)."""
-    routed_dir = os.path.join(pipeline_out, "routed")
-    sinks = [d for d in os.listdir(routed_dir) if d.startswith("sink=")]
+    """Fan-out write is physically partitioned by sink and template_id (K1),
+    inside the current snapshot's immutable data dir."""
+    from log_parser_cli_spark.plans.pipeline import routed_data_dirs
+
+    (data_dir,) = routed_data_dirs(pipeline_out)
+    sinks = [d for d in os.listdir(data_dir) if d.startswith("sink=")]
     assert len(sinks) >= 5
-    one = os.path.join(routed_dir, sorted(sinks)[0])
+    one = os.path.join(data_dir, sorted(sinks)[0])
     assert any(d.startswith("template_id=") for d in os.listdir(one))
 
 
@@ -102,9 +107,9 @@ def test_salted_fanout_splits_hot_template(spark, fixture_dir, pipeline_out, tmp
     """
     import glob
 
-    from log_parser_cli_spark.plans.pipeline import route_stage
+    from log_parser_cli_spark.plans.pipeline import read_routed, route_stage, routed_data_dirs
 
-    enriched = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    enriched = read_routed(spark, pipeline_out)
     counts = spark.read.parquet(os.path.join(pipeline_out, "sink_counts"))
     hot = counts.orderBy(F.desc("n_sequences")).first()
 
@@ -117,8 +122,9 @@ def test_salted_fanout_splits_hot_template(spark, fixture_dir, pipeline_out, tmp
     from urllib.parse import quote
 
     # Spark URL-encodes partition values in directory names ('#' → '%23')
+    (data_dir,) = routed_data_dirs(out)
     tpl_dir = os.path.join(
-        out, "routed", f"sink={hot.sink}", f"template_id={quote(hot.template_id, safe='')}"
+        data_dir, f"sink={hot.sink}", f"template_id={quote(hot.template_id, safe='')}"
     )
     files = glob.glob(os.path.join(tpl_dir, "*.parquet"))
     assert len(files) >= 2, f"hot template wrote {len(files)} file(s) — salting ineffective"

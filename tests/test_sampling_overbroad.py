@@ -103,9 +103,9 @@ def test_routed_content_reconstruction_is_exact(spark, fixture_dir, pipeline_out
 
     from log_parser_cli_spark.extras.overbroad import routed_for_overbroad
     from log_parser_cli_spark.operators.parse import parse_stage
-    from log_parser_cli_spark.plans.pipeline import load_dims
+    from log_parser_cli_spark.plans.pipeline import load_dims, read_routed
 
-    routed = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    routed = read_routed(spark, pipeline_out)
     rebuilt = routed_for_overbroad(routed).select("doc_id", F.col("content").alias("rc"))
     vocab_rows, source_heads, _ = load_dims(spark, fixture_dir)
     seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))

@@ -1,0 +1,138 @@
+"""Snapshot commit protocol (plans/snapshots.py): atomicity, isolation,
+optimistic concurrency, time travel, vacuum — the vendored stand-in for
+SURVEY §2.1's Iceberg prescription on the K1/K5 sinks."""
+
+import json
+import os
+
+import pytest
+
+from log_parser_cli_spark.plans.snapshots import ConcurrentCommitError, SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "template_id string, source string, n long")
+
+
+def test_commit_read_roundtrip_with_partitions(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    v = t.commit_overwrite(
+        _df(spark, [("a#1", "a", 1), ("b#1", "b", 2)]), partition_by=("source",)
+    )
+    assert v == 0
+    got = t.read(spark)
+    assert {r.template_id for r in got.collect()} == {"a#1", "b#1"}
+    assert "source" in got.columns  # partition column rediscovered
+
+
+def test_append_accumulates_and_overwrite_replaces(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    t.commit_append(_df(spark, [("b#1", "b", 2)]))
+    assert t.read(spark).count() == 2
+    assert t.manifest()["operation"] == "append"
+    t.commit_overwrite(_df(spark, [("c#1", "c", 3)]))
+    assert [r.template_id for r in t.read(spark).collect()] == ["c#1"]
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 99)]))
+    assert t.read(spark, version=0).first().n == 1
+    assert t.read(spark, version=1).first().n == 99
+    assert [m["version"] for m in t.history()] == [0, 1]
+
+
+def test_crashed_stage_never_visible_and_vacuumed(spark, tmp_path):
+    """A data dir with no manifest (crash before the commit point) is invisible
+    to readers and collected by vacuum."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    orphan = os.path.join(root, "data-deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert t.read(spark).count() == 1  # reader sees only the committed snapshot
+    removed = t.vacuum(keep_last=2)
+    assert "data-deadbeef0000" in removed
+    assert not os.path.exists(orphan)
+
+
+def test_concurrent_commit_detected_at_commit_point(spark, tmp_path):
+    """Exclusive manifest creation is the commit point: a racing committer that
+    lost the version gets ConcurrentCommitError (overwrite with
+    expected_parent = compare-and-swap), while append rebases and survives."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    # another committer publishes v1 between our read and our publish
+    with pytest.raises(ConcurrentCommitError):
+        t._try_commit(parent=None, op="overwrite", data_dirs=["data-x"], summary={})
+    t.commit_overwrite(_df(spark, [("b#1", "b", 2)]))  # now at v1
+    with pytest.raises(ConcurrentCommitError):
+        t.commit_overwrite(_df(spark, [("c#1", "c", 3)]), expected_parent=0)
+    # append retries on top of the winner: both writes survive
+    t.commit_append(_df(spark, [("d#1", "d", 4)]))
+    assert {r.template_id for r in t.read(spark).collect()} == {"b#1", "d#1"}
+
+
+def test_merge_upserts_by_key(spark, tmp_path):
+    """MERGE INTO stand-in (K5): same-key rows replaced, new keys union."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1), ("b#1", "b", 2)]))
+    t.merge(spark, _df(spark, [("a#1", "a", 100), ("c#1", "c", 3)]))
+    got = {r.template_id: r.n for r in t.read(spark).collect()}
+    assert got == {"a#1": 100, "b#1": 2, "c#1": 3}
+    assert t.manifest()["operation"] == "merge"
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    for n in range(4):
+        t.commit_overwrite(_df(spark, [("a#1", "a", n)]))
+    t.vacuum(keep_last=2)
+    assert t.read(spark, version=3).first().n == 3
+    assert t.read(spark, version=2).first().n == 2
+    with pytest.raises(FileNotFoundError):
+        t.manifest(0)
+    # only the two retained data dirs remain on disk
+    data_dirs = [d for d in os.listdir(root) if d.startswith("data-")]
+    assert len(data_dirs) == 2
+
+
+def test_hint_is_only_a_hint(spark, tmp_path):
+    """A stale or vandalized hint never wins over the manifest listing."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 2)]))
+    with open(os.path.join(root, "_CURRENT_HINT"), "w") as f:
+        f.write("v000000000000")
+    assert t.current_version() == 1
+    assert t.read(spark).first().n == 2
+
+
+def test_read_routed_falls_back_on_plain_layout(spark, tmp_path):
+    from log_parser_cli_spark.plans.pipeline import read_routed
+
+    out = str(tmp_path / "legacy")
+    _df(spark, [("a#1", "a", 1)]).write.parquet(os.path.join(out, "routed"))
+    assert read_routed(spark, out).count() == 1
+
+
+def test_routed_sink_is_snapshot_committed(spark, pipeline_out):
+    """The pipeline's K1 fan-out goes through the snapshot protocol: a
+    committed manifest references every live data dir, and the legacy mixed
+    layout (partition dirs at the table root) is gone."""
+    root = os.path.join(pipeline_out, "routed")
+    assert SnapshotTable.is_snapshot_dir(root)
+    m = SnapshotTable(root).manifest()
+    assert m["operation"] == "overwrite" and m["format"] == "lpcs-snapshot-v1"
+    for d in m["data_dirs"]:
+        assert os.path.isdir(os.path.join(root, d))
+    assert not any(d.startswith("sink=") for d in os.listdir(root))
+    with open(os.path.join(root, "_CURRENT_HINT")) as f:
+        assert f.read() == f"v{m['version']:012d}"
+    json.dumps(m)  # manifest is plain JSON end to end

@@ -4,12 +4,13 @@ import os
 
 import pyspark.sql.functions as F
 
+from log_parser_cli_spark.plans.pipeline import read_routed
 from log_parser_cli_spark.streaming.stateful import running_template_counts
 
 
 def test_running_counts_accumulate_across_microbatches(spark, fixture_dir, pipeline_out, tmp_path):
     # split the routed output into several files → several micro-batches
-    routed = spark.read.parquet(os.path.join(pipeline_out, "routed")).select(
+    routed = read_routed(spark, pipeline_out).select(
         "doc_id", "source", "template_id"
     )
     stream_src = str(tmp_path / "stream_src")

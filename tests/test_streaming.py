@@ -4,7 +4,7 @@ import os
 
 import pyspark.sql.functions as F
 
-from log_parser_cli_spark.plans.pipeline import run_pipeline
+from log_parser_cli_spark.plans.pipeline import read_routed, run_pipeline
 from log_parser_cli_spark.streaming.stream import stream_replay, windowed_event_counts
 
 
@@ -15,7 +15,7 @@ def test_stream_replay_matches_batch(spark, fixture_dir, pipeline_out, tmp_path)
     q.awaitTermination(120)
 
     streamed = spark.read.parquet(os.path.join(out, "routed"))
-    batch = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    batch = read_routed(spark, pipeline_out)
     assert streamed.count() == batch.count()
     s_counts = {
         (r.source, r.template_id): r.n
@@ -52,7 +52,7 @@ def test_stream_with_discovery_evolves_library(spark, fixture_dir, pipeline_out,
     q.awaitTermination(180)
 
     streamed = spark.read.parquet(os.path.join(out, "routed"))
-    batch = spark.read.parquet(os.path.join(pipeline_out, "routed"))
+    batch = read_routed(spark, pipeline_out)
     s_counts = {
         (r.source, r.template_star): r.n
         for r in streamed.groupBy("source", "template_star").agg(FN.count("*").alias("n")).collect()

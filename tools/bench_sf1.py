@@ -145,7 +145,13 @@ def main() -> int:
     run_replay(spark, fixture_dir, out_dir, mapping, salt_buckets=4)
     import glob
 
-    routed_files = glob.glob(os.path.join(out_dir, "routed", "sink=*", "template_id=*", "*.parquet"))
+    from log_parser_cli_spark.plans.pipeline import routed_data_dirs
+
+    routed_files = [
+        f
+        for d in routed_data_dirs(out_dir)
+        for f in glob.glob(os.path.join(d, "sink=*", "template_id=*", "*.parquet"))
+    ]
     sizes = sorted(os.path.getsize(f) for f in routed_files)
     skew = {
         "n_files": len(sizes),
