@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         enriched = enrich_stage(parsed, mapping, sources_df)
         library = export_template_library(spark, enriched)
         lib_path = os.path.join(args.out, "template_library")
-        spark.createDataFrame(
+        lib_df = spark.createDataFrame(
             [
                 (t["template_id"], t["source"], t["placeholder_template"], t["pattern"],
                  t["template_star"], t["variables"], t["created_at"])
@@ -144,8 +144,17 @@ def main(argv: list[str] | None = None) -> int:
             ],
             "template_id string, source string, placeholder_template string, pattern string,"
             " template_star string, variables array<string>, created_at long",
-        ).coalesce(1).write.mode("overwrite").parquet(lib_path)
-        print(f"template library: {lib_path} ({len(library)} templates)")
+        ).coalesce(1)
+        # transactional library table (K5): repeated exports MERGE by
+        # template_id under snapshot isolation — the reference's SQLite
+        # ON CONFLICT(id) DO UPDATE (sqlite-template-manager.ts:90-110)
+        from log_parser_cli_spark.plans.snapshots import SnapshotTable
+
+        table = SnapshotTable(lib_path)
+        version = table.merge(spark, lib_df, key="template_id")
+        table.vacuum(keep_last=2)
+        n_total = table.read(spark).count()
+        print(f"template library: {lib_path} v{version} ({n_total} templates)")
 
     if args.overbroad:
         from log_parser_cli_spark.extras.overbroad import (
