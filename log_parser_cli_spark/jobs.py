@@ -27,6 +27,42 @@ import sys
 import time
 
 
+def _maintenance(spark, args) -> int:
+    """--vacuum / --read-snapshot: operate the out dir's snapshot tables."""
+    import pyspark.sql.functions as F
+
+    from log_parser_cli_spark.plans.snapshots import SnapshotTable
+
+    rc = 0
+    if args.read_snapshot is not None:
+        table = SnapshotTable(os.path.join(args.out, "routed"))
+        try:
+            df = table.read(spark, version=args.read_snapshot)
+        except FileNotFoundError as e:
+            print(f"read-snapshot failed: {e}")
+            return 1
+        n = df.count()
+        print(f"routed@v{args.read_snapshot}: rows={n}")
+        (
+            df.groupBy("sink", "template_id")
+            .agg(F.count("*").alias("n_sequences"))
+            .orderBy(F.desc("n_sequences"))
+            .show(12, truncate=60)
+        )
+    if args.vacuum is not None:
+        for name in ("routed", "template_library"):
+            root = os.path.join(args.out, name)
+            if not SnapshotTable.is_snapshot_dir(root):
+                continue
+            table = SnapshotTable(root)
+            removed = table.vacuum(keep_last=max(1, args.vacuum))
+            print(
+                f"{name}: vacuumed to last {max(1, args.vacuum)} snapshots "
+                f"(current v{table.current_version()}), removed {len(removed)} data dirs"
+            )
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="log_parser_cli_spark pipeline job")
     ap.add_argument("--fixtures", required=True, help="fixture dir (sequences/vocab/sources parquet)")
@@ -50,12 +86,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="route NULL/empty-source rows by head-pattern vote before parsing")
     ap.add_argument("--refine", action="store_true",
                     help="run discovery through the conflict→delete→requeue candidate queue")
+    ap.add_argument("--retain-snapshots", type=int, default=2, metavar="N",
+                    help="snapshot retention for the routed table's auto-vacuum (≥1)")
+    ap.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
+                    help="maintenance mode: vacuum the out dir's snapshot tables to the "
+                         "last KEEP versions (age-gated orphan collection) and exit")
+    ap.add_argument("--read-snapshot", type=int, default=None, metavar="VERSION",
+                    help="maintenance mode: time-travel read of the routed table at "
+                         "VERSION; prints row count + top template counts and exits")
     args = ap.parse_args(argv)
 
     from log_parser_cli_spark.plans.pipeline import read_routed, run_pipeline
     from log_parser_cli_spark.session import get_spark
 
     spark = get_spark(app_name=f"lpcs-{args.run_id}", cores=args.cores)
+    maintenance = args.vacuum is not None or args.read_snapshot is not None
+    if maintenance:
+        # table maintenance operates on an existing out dir only — the
+        # snapshot history is the table-level twin of the reference's
+        # replay-from-chunks story (time travel) plus its GC
+        rc = _maintenance(spark, args)
+        spark.stop()
+        return rc
     mapping_df = spark.read.parquet(args.match_only) if args.match_only else None
     t0 = time.time()
     result = run_pipeline(
@@ -70,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         derive_heads=args.derive_heads,
         infer_missing_sources=args.infer_sources,
         refine=args.refine,
+        retain_snapshots=args.retain_snapshots,
     )
     wall = time.time() - t0
     if args.refine:

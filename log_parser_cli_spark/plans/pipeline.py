@@ -354,7 +354,11 @@ def enrich_stage(parsed: DataFrame, mapping: DataFrame, sources_df: DataFrame) -
 
 
 def route_stage(
-    enriched: DataFrame, out_dir: str, salt_buckets: int = 16, shuffle_partitions: int | None = None
+    enriched: DataFrame,
+    out_dir: str,
+    salt_buckets: int = 16,
+    shuffle_partitions: int | None = None,
+    retain_snapshots: int = 2,
 ) -> str:
     """Deterministic fan-out write partitioned by (sink, template_id) — K1.
 
@@ -383,19 +387,27 @@ def route_stage(
         ),
         partition_by=("sink", "template_id"),
     )
-    table.vacuum(keep_last=2)
+    # auto-vacuum is safe against concurrent committers: never-referenced
+    # dirs are age-gated (snapshots.vacuum orphan_grace_s); retention is a
+    # caller policy (jobs.py --retain-snapshots / --vacuum for maintenance)
+    table.vacuum(keep_last=retain_snapshots)
     return routed_path
 
 
 def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Current committed snapshot of a run's routed table; falls back to a
-    plain parquet read for non-snapshot layouts (the streaming sink's
-    batch_id-keyed dirs, pre-snapshot run dirs)."""
+    """Current committed snapshot of a run's routed table (batch AND
+    streaming sinks both commit through SnapshotTable); falls back to a
+    plain parquet read only for legacy pre-snapshot run dirs."""
     from log_parser_cli_spark.plans.snapshots import SnapshotTable
 
     root = os.path.join(out_dir, "routed")
     if SnapshotTable.is_snapshot_dir(root):
         return SnapshotTable(root).read(spark)
+    if os.path.isdir(root) and any(n.startswith("data-") for n in os.listdir(root)):
+        # staged dirs but no manifest: a writer crashed before its first
+        # commit point — that is "table does not exist yet", never "read the
+        # partial bytes"
+        raise FileNotFoundError(f"{root}: staged data but no committed snapshot")
     return spark.read.parquet(root)
 
 
@@ -468,6 +480,7 @@ def run_replay(
     mapping_df: DataFrame,
     salt_buckets: int = 16,
     seq_df: DataFrame | None = None,
+    retain_snapshots: int = 2,
 ) -> int:
     """Lean scoring pass: parse → enrich (frozen mapping) → route → aggregate.
 
@@ -482,7 +495,7 @@ def run_replay(
         seq_df = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
     parsed = parse_stage(spark, seq_df, vocab_rows, source_heads)
     enriched = enrich_stage(parsed, mapping_df, sources_df)
-    route_stage(enriched, out_dir, salt_buckets=salt_buckets)
+    route_stage(enriched, out_dir, salt_buckets=salt_buckets, retain_snapshots=retain_snapshots)
     routed = read_routed(spark, out_dir)
     aggregate_stage(spark, routed, out_dir)
     counts = spark.read.parquet(os.path.join(out_dir, "sink_counts"))
@@ -506,6 +519,7 @@ def run_pipeline(
     infer_missing_sources: bool = False,
     refine: bool = False,
     seed_library: list[dict] | None = None,
+    retain_snapshots: int = 2,
 ) -> PipelineResult:
     """Full parse → enrich → route → aggregate job.
 
@@ -603,7 +617,9 @@ def run_pipeline(
     enriched = enrich_stage(parsed, mapping_df_local, sources_df)
 
     def do_route():
-        routed_path = route_stage(enriched, out_dir, salt_buckets=salt_buckets)
+        routed_path = route_stage(
+            enriched, out_dir, salt_buckets=salt_buckets, retain_snapshots=retain_snapshots
+        )
         if lineage:
             _lineage(read_routed(spark, out_dir), "route", run_id, out_dir, 0)
         return {"routed_path": routed_path}

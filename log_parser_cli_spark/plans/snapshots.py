@@ -120,7 +120,14 @@ class SnapshotTable:
         writer.parquet(os.path.join(self.root, name))
         return name
 
-    def _try_commit(self, parent: int | None, op: str, data_dirs: list[str], summary: dict) -> int:
+    def _try_commit(
+        self,
+        parent: int | None,
+        op: str,
+        data_dirs: list[str],
+        summary: dict,
+        dir_batches: dict[str, int] | None = None,
+    ) -> int:
         version = 0 if parent is None else parent + 1
         manifest = {
             "format": FORMAT,
@@ -130,6 +137,8 @@ class SnapshotTable:
             "data_dirs": data_dirs,
             "summary": summary,
         }
+        if dir_batches is not None:
+            manifest["dir_batches"] = dir_batches
         os.makedirs(os.path.join(self.root, _MANIFEST_DIR), exist_ok=True)
         final = self._manifest_path(version)
         tmp = f"{final}.{uuid.uuid4().hex}.tmp"
@@ -193,6 +202,42 @@ class SnapshotTable:
                 continue
         raise ConcurrentCommitError(f"gave up after {retries} racing commits")
 
+    def commit_batch(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        partition_by: tuple[str, ...] | None = None,
+        retries: int = 5,
+    ) -> int:
+        """Idempotent per-micro-batch append for at-least-once sinks
+        (Structured Streaming ``foreachBatch``): the new snapshot keeps the
+        parent's dirs EXCEPT any previously committed for this ``batch_id``
+        and adds one new dir tagged with it. A retried micro-batch therefore
+        REPLACES its own prior output instead of duplicating rows, and a
+        crash before the commit point leaves only an unreferenced staged dir
+        (age-gated vacuum) — readers never observe a torn batch."""
+        staged = self._stage(df, partition_by)
+        for _ in range(retries):
+            parent = self.current_version()
+            tags: dict[str, int] = {}
+            base: list[str] = []
+            if parent is not None:
+                m = self.manifest(parent)
+                ptags = m.get("dir_batches", {})
+                for d in m["data_dirs"]:
+                    if ptags.get(d) != batch_id:
+                        base.append(d)
+                        if d in ptags:
+                            tags[d] = ptags[d]
+            tags[staged] = batch_id
+            try:
+                return self._try_commit(
+                    parent, "append-batch", base + [staged], {"batch_id": batch_id}, tags
+                )
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"gave up after {retries} racing commits")
+
     def merge(
         self, spark: SparkSession, updates: DataFrame, key: str = "template_id", retries: int = 5
     ) -> int:
@@ -215,28 +260,64 @@ class SnapshotTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Delete data dirs referenced by no retained snapshot, plus orphan
-        stage dirs from crashed commits, plus expired manifests. Keeping ≥2
-        snapshots leaves the previous version readable for in-flight readers
-        (the sandbox stand-in for a retention window)."""
+    def vacuum(self, keep_last: int = 2, orphan_grace_s: float = 3600.0) -> list[str]:
+        """Delete data dirs referenced by no retained snapshot, plus expired
+        manifests and leftover manifest temp files. Keeping ≥2 snapshots
+        leaves the previous version readable for in-flight readers (the
+        sandbox stand-in for a retention window).
+
+        Unreferenced dirs split into two classes:
+
+        - referenced by an EXPIRED manifest only → committed and superseded,
+          safe to delete immediately;
+        - referenced by NO manifest at all → either a crashed commit's orphan
+          OR a CONCURRENT committer's staged-but-not-yet-committed dir. The
+          two are indistinguishable from here, so collection is age-gated by
+          ``orphan_grace_s`` (Iceberg's remove_orphan_files takes the same
+          posture with its 3-day default) — auto-vacuum right after a commit
+          can no longer delete a racing committer's staged data out from
+          under it.
+        """
+        import time
+
         current = self.current_version()
         if current is None:
             return []
-        retained_versions = [
-            v for v in (self.manifest()["version"] - i for i in range(keep_last)) if v >= 0
-        ]
-        referenced: set[str] = set()
-        for v in retained_versions:
-            if os.path.exists(self._manifest_path(v)):
-                referenced.update(self.manifest(v)["data_dirs"])
+        retained_versions = [v for v in (current - i for i in range(keep_last)) if v >= 0]
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        committed: set[str] = set()  # referenced by ANY existing manifest
+        retained: set[str] = set()  # referenced by a RETAINED manifest
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json") and name[1:13].isdigit()):
+                continue
+            v = int(name[1:13])
+            dirs = self.manifest(v)["data_dirs"]
+            committed.update(dirs)
+            if v in retained_versions:
+                retained.update(dirs)
+        now = time.time()
         removed = []
         for name in os.listdir(self.root):
-            if name.startswith("data-") and name not in referenced:
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            if not name.startswith("data-") or name in retained:
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # deleted under us (concurrent vacuum)
+            if name in committed or age >= orphan_grace_s:
+                shutil.rmtree(path, ignore_errors=True)
                 removed.append(name)
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
         for name in os.listdir(mdir):
+            path = os.path.join(mdir, name)
             if name.endswith(".json") and int(name[1:13]) < min(retained_versions):
-                os.unlink(os.path.join(mdir, name))
+                os.unlink(path)
+            elif name.endswith(".tmp"):
+                # crashed _try_commit between temp-write and finally-unlink;
+                # age-gated because a live committer's temp exists briefly
+                try:
+                    if now - os.path.getmtime(path) >= orphan_grace_s:
+                        os.unlink(path)
+                except OSError:
+                    pass
         return removed

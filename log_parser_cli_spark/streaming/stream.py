@@ -7,9 +7,10 @@ Streaming:
 
 - ``stream_replay``: readStream over a token-table directory → per-micro-batch
   parse + enrich against the frozen mapping → append to the routed sink via
-  ``foreachBatch`` (the batch pipeline's route stage, unchanged). The
-  checkpointLocation gives exactly-once per-batch resume — the streaming twin
-  of the batch manifest.
+  ``foreachBatch`` + ``SnapshotTable.commit_batch`` (the same transactional
+  table the batch route stage writes: a retried batch replaces its own dirs,
+  a killed batch is never visible). The checkpointLocation gives exactly-once
+  per-batch resume — the streaming twin of the batch manifest.
 - ``windowed_event_counts``: event-time windowed aggregation with a watermark
   (late-data tolerant counts per sink), the streaming analog of the per-sink
   aggregates. The reference has no watermark/event-time semantics (T5) — this
@@ -26,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_parser_cli_spark.operators.parse import parse_stage
-from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims, route_stage
+from log_parser_cli_spark.plans.pipeline import enrich_stage, load_dims
+from log_parser_cli_spark.plans.snapshots import SnapshotTable
 
 
 def stream_replay(
@@ -52,22 +54,24 @@ def stream_replay(
         .parquet(fixture_dir)
     )
 
+    table = SnapshotTable(os.path.join(out_dir, "routed"))
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_stage(spark, batch_df, vocab_rows, source_heads)
         enriched = enrich_stage(parsed, mapping_df, sources_df)
-        # foreachBatch is at-least-once on micro-batch retry; writing each
-        # batch to its own batch_id-keyed subdirectory with overwrite makes
-        # the sink idempotent (a retried batch replaces its own output instead
-        # of duplicating rows). Readers of <out>/routed discover batch_id as
-        # an extra partition column.
-        (
+        # foreachBatch is at-least-once on micro-batch retry; committing each
+        # batch through the snapshot protocol keeps the sink idempotent (a
+        # retried batch_id REPLACES its own prior dir) and atomic (a crash
+        # mid-batch leaves an unreferenced staged dir — readers on
+        # read_routed never observe a torn batch, unlike the previous
+        # batch_id=N/ plain-dir layout).
+        table.commit_batch(
             enriched.select(
                 "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
                 "template_star", "variables", "n_vars",
-            )
-            .write.mode("overwrite")
-            .partitionBy("sink", "template_id")
-            .parquet(os.path.join(out_dir, "routed", f"batch_id={batch_id}"))
+            ).withColumn("batch_id", F.lit(batch_id).cast("long")),
+            batch_id=batch_id,
+            partition_by=("sink", "template_id"),
         )
 
     writer = (
@@ -106,24 +110,29 @@ def read_mapping(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _commit_mapping(mapping: DataFrame, mapping_root: str, batch_id: int) -> None:
-    """Versioned-dir + pointer commit: write ``v<batch_id>``, fsync-rename the
-    pointer, then GC superseded versions. A retried batch overwrites its own
-    version dir and re-points — idempotent; a crash mid-write never moves the
-    pointer, so the accumulated library is never lost (the prior overwrite-in-
-    place scheme could drop it and silently renumber template ids)."""
+    """Versioned-dir + pointer commit: stage ``v<batch_id>-<hex>`` (a FRESH
+    uniquely-named dir every attempt), fsync-rename the pointer onto it only
+    after the write completes, then GC every other version dir. A retried
+    batch therefore never overwrites the dir the pointer currently targets —
+    the prior scheme did, so a crash mid-overwrite left the pointer on a
+    _SUCCESS-less dir and the next batch silently re-bootstrapped via full
+    discovery, renumbering template ids (round-3 ADVICE)."""
     import shutil
+    import uuid
 
-    vname = f"v{batch_id:012d}"
+    vname = f"v{batch_id:012d}-{uuid.uuid4().hex[:8]}"
     vdir = os.path.join(mapping_root, vname)
-    mapping.write.mode("overwrite").parquet(vdir)
+    mapping.write.parquet(vdir)
     tmp = os.path.join(mapping_root, "_LATEST.tmp")
     with open(tmp, "w") as f:
         f.write(vname)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mapping_root, "LATEST"))
+    # foreachBatch commits serially, so every other version dir is either
+    # superseded or an abandoned attempt — GC them all
     for d in os.listdir(mapping_root):
-        if d.startswith("v") and d != vname and d < vname:
+        if d.startswith("v") and d != vname:
             shutil.rmtree(os.path.join(mapping_root, d), ignore_errors=True)
 
 
@@ -143,7 +152,7 @@ def stream_with_discovery(
     batch (foreachBatch runs serially on the driver). Extension is
     IDEMPOTENT — re-extending with already-known signatures is a no-op — so an
     at-least-once batch retry converges to the same library, and the routed
-    sink stays exactly-once via batch_id-keyed overwrite. Batch 1 bootstraps
+    sink stays exactly-once via batch_id-tagged snapshot commits. Batch 1 bootstraps
     via full discovery; later batches only append (pipeline.ts
     pre-match-then-discover, sqlite-template-manager.ts:79-85).
     """
@@ -153,6 +162,7 @@ def stream_with_discovery(
     seq_schema = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet")).schema
     mapping_root = os.path.join(out_dir, "mapping")
     os.makedirs(mapping_root, exist_ok=True)
+    table = SnapshotTable(os.path.join(out_dir, "routed"))
 
     stream = (
         spark.readStream.schema(seq_schema)
@@ -172,14 +182,13 @@ def stream_with_discovery(
         mapping = spark.createDataFrame(rows, mapping.schema)
         _commit_mapping(mapping, mapping_root, batch_id)
         enriched = enrich_stage(parsed, mapping, sources_df)
-        (
+        table.commit_batch(
             enriched.select(
                 "doc_id", "tokens", "n_tok", "source", "sink", "template_id",
                 "template_star", "variables", "n_vars",
-            )
-            .write.mode("overwrite")
-            .partitionBy("sink", "template_id")
-            .parquet(os.path.join(out_dir, "routed", f"batch_id={batch_id}"))
+            ).withColumn("batch_id", F.lit(batch_id).cast("long")),
+            batch_id=batch_id,
+            partition_by=("sink", "template_id"),
         )
 
     writer = (

@@ -46,7 +46,10 @@ def test_time_travel_reads_retained_versions(spark, tmp_path):
 
 def test_crashed_stage_never_visible_and_vacuumed(spark, tmp_path):
     """A data dir with no manifest (crash before the commit point) is invisible
-    to readers and collected by vacuum."""
+    to readers; vacuum collects it only once it outlives the orphan grace
+    window — a FRESH never-referenced dir could equally be a concurrent
+    committer's staged-not-yet-committed data (round-3 ADVICE race: winner's
+    auto-vacuum must not delete the loser's staged dir)."""
     root = str(tmp_path / "t")
     t = SnapshotTable(root)
     t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
@@ -55,9 +58,36 @@ def test_crashed_stage_never_visible_and_vacuumed(spark, tmp_path):
     with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
         f.write("not parquet")
     assert t.read(spark).count() == 1  # reader sees only the committed snapshot
-    removed = t.vacuum(keep_last=2)
+    # within the grace window: the default vacuum must leave it alone
+    assert t.vacuum(keep_last=2) == []
+    assert os.path.exists(orphan)
+    # aged past the window (grace 0 simulates): collected
+    removed = t.vacuum(keep_last=2, orphan_grace_s=0.0)
     assert "data-deadbeef0000" in removed
     assert not os.path.exists(orphan)
+
+
+def test_vacuum_spares_concurrent_staged_dir_but_commits_survive(spark, tmp_path):
+    """The full ADVICE scenario: committer B stages, committer A commits and
+    auto-vacuums, then B commits — B's manifest must reference a dir that
+    still exists. Expired-manifest dirs still collect immediately."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    staged = t._stage(_df(spark, [("b#1", "b", 2)]), None)  # B stages...
+    t.commit_overwrite(_df(spark, [("c#1", "c", 3)]))  # ...A commits v1...
+    t.vacuum(keep_last=2)  # ...and auto-vacuums (default grace)
+    v = t._try_commit(1, "append", t.manifest(1)["data_dirs"] + [staged], {})  # B commits
+    assert {r.template_id for r in t.read(spark, v).collect()} == {"c#1", "b#1"}
+    # v0's dir is referenced only by an EXPIRED manifest after two more
+    # commits → deleted with no grace needed
+    t.commit_overwrite(_df(spark, [("d#1", "d", 4)]))
+    t.commit_overwrite(_df(spark, [("e#1", "e", 5)]))
+    removed = t.vacuum(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.manifest(0)
+    assert removed  # superseded committed dirs collected immediately
+    assert t.read(spark).first().template_id == "e#1"
 
 
 def test_concurrent_commit_detected_at_commit_point(spark, tmp_path):
@@ -75,6 +105,22 @@ def test_concurrent_commit_detected_at_commit_point(spark, tmp_path):
     # append retries on top of the winner: both writes survive
     t.commit_append(_df(spark, [("d#1", "d", 4)]))
     assert {r.template_id for r in t.read(spark).collect()} == {"b#1", "d#1"}
+
+
+def test_commit_batch_retry_replaces_own_output(spark, tmp_path):
+    """Idempotent micro-batch commits: a retried batch_id replaces its own
+    prior dir (no duplicate rows under at-least-once foreachBatch), and a
+    stage-only crash leaves readers on the last committed snapshot."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_batch(_df(spark, [("a#1", "a", 1)]), batch_id=0)
+    t.commit_batch(_df(spark, [("b#1", "b", 2)]), batch_id=1)
+    assert t.read(spark).count() == 2
+    t.commit_batch(_df(spark, [("b#1", "b", 2)]), batch_id=1)  # retry
+    got = {(r.template_id, r.n) for r in t.read(spark).collect()}
+    assert got == {("a#1", 1), ("b#1", 2)}
+    assert t.manifest()["summary"]["batch_id"] == 1
+    t._stage(_df(spark, [("c#1", "c", 3)]), None)  # crash before commit point
+    assert {r.template_id for r in t.read(spark).collect()} == {"a#1", "b#1"}
 
 
 def test_merge_upserts_by_key(spark, tmp_path):
@@ -112,6 +158,41 @@ def test_hint_is_only_a_hint(spark, tmp_path):
         f.write("v000000000000")
     assert t.current_version() == 1
     assert t.read(spark).first().n == 2
+
+
+def test_cli_time_travel_and_vacuum_roundtrip(spark, fixture_dir, pipeline_out, tmp_path, capsys):
+    """jobs.py maintenance surface: after a re-route overwrites the routed
+    table (v0 → v1), --read-snapshot 0 still reads the previous snapshot
+    (time travel), and --vacuum 1 expires it — the table-level twin of the
+    reference's replay-from-chunks story."""
+    import argparse
+
+    from log_parser_cli_spark import jobs
+    from log_parser_cli_spark.plans.pipeline import read_routed, run_replay
+
+    mapping = spark.read.parquet(os.path.join(pipeline_out, "template_mapping"))
+    out = str(tmp_path / "out")
+    n0 = run_replay(spark, fixture_dir, out, mapping)  # commits v0
+    run_replay(spark, fixture_dir, out, mapping)  # overwrites → v1
+    t = SnapshotTable(os.path.join(out, "routed"))
+    assert t.current_version() == 1
+
+    rc = jobs._maintenance(
+        spark, argparse.Namespace(out=out, vacuum=None, read_snapshot=0)
+    )
+    assert rc == 0
+    assert f"rows={n0}" in capsys.readouterr().out
+
+    jobs._maintenance(spark, argparse.Namespace(out=out, vacuum=1, read_snapshot=None))
+    assert "vacuumed to last 1 snapshots" in capsys.readouterr().out
+    assert read_routed(spark, out).count() == n0  # current stays readable
+    with pytest.raises(FileNotFoundError):
+        t.manifest(0)  # expired by retention
+    # a version that never existed reports cleanly
+    rc = jobs._maintenance(
+        spark, argparse.Namespace(out=out, vacuum=None, read_snapshot=7)
+    )
+    assert rc == 1
 
 
 def test_read_routed_falls_back_on_plain_layout(spark, tmp_path):
