@@ -612,6 +612,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ann_ivf: same centroids/nprobe/rounding, but the
+    centroids ride a broadcast single-row DataFrame and the nearest-centroid
+    argmax is a higher-order-function reduce — plan size CONSTANT in centroid
+    count (the literal path's expression tree grows as O(centroids × dim)
+    and collapses at production IVF sizes). Its oracle is ann_ivf's
+    literal-inlined SQL: the value-hash match IS the parity proof."""
+    from log_parser_cli_spark.extras.similarity import ivf_topk, vectors_to_df
+
+    emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
+    cdf = vectors_to_df(spark, _ivf_centroids_for(sf_dir), "cents")
+    return ivf_topk(emb, ANN_QUERY_IDS, k=10, centroids_df=cdf, nprobe=IVF_NPROBE)
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the IVF probe vs the exact brute-force ranking."""
     from log_parser_cli_spark.extras.similarity import cosine_topk, ivf_topk, topk_recall
@@ -771,6 +785,7 @@ QUERIES = {
     "rhp_recall": q_rhp_recall,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_join": q_ann_ivf_join,
     "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_dedup": q_embedding_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -1330,6 +1345,18 @@ def build_oracle_sql() -> dict[str, str]:
                 "embedding_dedup": _rhp_dedup_sql(RHP_THRESHOLD, _emb_dim, RHP_PLANES, RHP_ROWS_PER_BAND),
                 "rhp_recall": _rhp_recall_sql(RHP_THRESHOLD, _emb_dim, RHP_PLANES, RHP_ROWS_PER_BAND),
                 "ann_ivf": (
+                    "WITH "
+                    + _ivf_core_sql(_centroids, ANN_QUERY_IDS, IVF_NPROBE, 10)[1:]
+                    + """
+            SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id, sim
+            FROM ivf_ranked WHERE rank <= 10
+        """
+                ),
+                # the join path is numerically identical to the literal path
+                # by construction — checking it against the SAME literal SQL
+                # is the parity gate
+                "ann_ivf_join": (
                     "WITH "
                     + _ivf_core_sql(_centroids, ANN_QUERY_IDS, IVF_NPROBE, 10)[1:]
                     + """

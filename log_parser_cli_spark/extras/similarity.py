@@ -93,6 +93,18 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return [[_md5_unit(f"hp|{j}|{d}") for d in range(dim)] for j in range(n_planes)]
 
 
+def vectors_to_df(spark, vectors: list[list[float]], col: str) -> DataFrame:
+    """ONE-row DataFrame holding ``vectors`` as an array<array<double>>
+    column — the broadcast-join carrier for the scale path. The literal
+    paths inline each vector into the SQL text (perfect for DuckDB oracle
+    portability, but the expression tree grows as O(n_vectors × dim)); at
+    production sizes (IVF lists of 4k–65k × dim 768–4096) that plan would
+    collapse, so the join paths attach the same numbers as DATA via a
+    broadcast single-row cross join and reduce them with higher-order
+    functions — plan size constant in both n_vectors and dim."""
+    return spark.createDataFrame([(vectors,)], f"{col} array<array<double>>")
+
+
 def rhp_candidates(
     embeddings: DataFrame,
     dim: int,
@@ -100,28 +112,52 @@ def rhp_candidates(
     rows_per_band: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) by banded random-hyperplane signatures.
 
-    Each vector gets ``n_planes`` sign bits (dot with a literal hyperplane
-    ≥ 0); bits group into bands of ``rows_per_band``; vectors sharing any
-    band value become candidates via an equi-join on (band, value) — the
-    shuffles are keyed on band buckets, never corpus×corpus.
+    Each vector gets ``n_planes`` sign bits (dot with a hyperplane ≥ 0);
+    bits group into bands of ``rows_per_band``; vectors sharing any band
+    value become candidates via an equi-join on (band, value) — the shuffles
+    are keyed on band buckets, never corpus×corpus.
+
+    Two physically different, numerically identical plane carriers:
+    - default: every plane inlined as a double-array LITERAL (oracle-
+      portable; plan grows with n_planes × dim);
+    - ``planes_df`` (from ``vectors_to_df(spark, hyperplanes(...), "planes")``):
+      planes ride a broadcast single-row join and the signature is computed
+      by higher-order functions — constant plan size, the 100 TB shape.
     """
-    planes = hyperplanes(n_planes, dim)
     n_bands = n_planes // rows_per_band
-    band_structs = []
-    for b in range(n_bands):
-        val_expr = " + ".join(
-            f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[b * rows_per_band + r]))}) >= 0 THEN {1 << r} ELSE 0 END)"
-            for r in range(rows_per_band)
+    if planes_df is not None:
+        bits_expr = f"transform(planes, p -> IF(({DOT.format(a=vec_col, b='p')}) >= 0, 1, 0))"
+        bands_expr = (
+            f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+            f"'band', b, 'val', aggregate(zip_with("
+            f"slice(_bits, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"sequence(0, {rows_per_band - 1}), (x, r) -> x * shiftleft(1, r)), "
+            f"0, (acc, v) -> acc + v)))"
         )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.expr(val_expr).alias("val"))
+        banded = (
+            embeddings.join(F.broadcast(planes_df))
+            .withColumn("_bits", F.expr(bits_expr))
+            .select(F.col(id_col).alias("doc"), F.explode(F.expr(bands_expr)).alias("bk"))
+            .select("doc", "bk.band", "bk.val")
         )
-    banded = embeddings.select(
-        F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc", "bk.band", "bk.val")
+    else:
+        planes = hyperplanes(n_planes, dim)
+        band_structs = []
+        for b in range(n_bands):
+            val_expr = " + ".join(
+                f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[b * rows_per_band + r]))}) >= 0 THEN {1 << r} ELSE 0 END)"
+                for r in range(rows_per_band)
+            )
+            band_structs.append(
+                F.struct(F.lit(b).alias("band"), F.expr(val_expr).alias("val"))
+            )
+        banded = embeddings.select(
+            F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bk")
+        ).select("doc", "bk.band", "bk.val")
     return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "val"])
@@ -219,39 +255,70 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: assign every vector to its nearest
     k-means centroid, probe only the ``nprobe`` closest buckets per query.
-    Returns the same schema as cosine_topk. One corpus scan for assignment
-    (centroids are literals → whole-stage codegen, no join), then the scored
-    scan touches ~nprobe/n_centroids of the corpus."""
-    if centroids is None:
-        raise ValueError("pass deterministic centroids (kmeans_centroids)")
-    assigned = (
-        embeddings.withColumn("_sims", F.expr(_sims_expr(vec_col, centroids)))
-        # first occurrence of the max → lowest centroid id wins ties
-        .withColumn("cid", F.expr("array_position(_sims, array_max(_sims)) - 1"))
-        .drop("_sims")
-    )
+    Returns the same schema as cosine_topk.
+
+    Two numerically identical centroid carriers (same ranking bit for bit):
+    - ``centroids`` (literal path): every centroid inlined into the SQL text —
+      whole-stage codegen, no join, and a DuckDB oracle can replay it; plan
+      size O(n_centroids × dim), fine at sandbox scale.
+    - ``centroids_df`` (join path, from ``vectors_to_df(spark, centroids,
+      "cents")``): centroids ride a broadcast single-row cross join; the
+      nearest-centroid argmax is a higher-order-function reduce over the
+      array column — plan size CONSTANT in centroid count, the shape that
+      survives production IVF lists (4k–65k centroids × dim 768+). Still one
+      corpus scan, still no corpus-side shuffle.
+    """
+    if centroids is None and centroids_df is None:
+        raise ValueError("pass deterministic centroids (kmeans_centroids) or centroids_df")
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    # per-query nprobe nearest centroids (tiny: |queries| × n_centroids)
-    probe_structs = [
-        F.struct(
-            F.lit(cid).alias("cid"),
-            F.expr(f"round({_cosine_expr('qvec', _lit_array(c))}, 6)").alias("qsim"),
+    if centroids_df is not None:
+        cdf = F.broadcast(centroids_df)
+        sims_hof = f"transform(cents, c -> round({_cosine_expr(vec_col, 'c')}, 6))"
+        assigned = (
+            embeddings.join(cdf)
+            .withColumn("_sims", F.expr(sims_hof))
+            # first occurrence of the max → lowest centroid id wins ties,
+            # identical to the literal path's array_position semantics
+            .withColumn("cid", F.expr("array_position(_sims, array_max(_sims)) - 1"))
+            .drop("_sims", "cents")
         )
-        for cid, c in enumerate(centroids)
-    ]
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
-    probes = (
-        queries.select("query_id", "qvec", F.explode(F.array(*probe_structs)).alias("p"))
-        .select("query_id", "qvec", "p.cid", "p.qsim")
-        .withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= nprobe)
-        .select("query_id", "qvec", "cid")
-    )
+        probes = (
+            queries.join(cdf)
+            .select("query_id", "qvec", F.posexplode("cents").alias("cid", "cvec"))
+            .withColumn("qsim", F.expr(f"round({_cosine_expr('qvec', 'cvec')}, 6)"))
+            .withColumn("r", F.row_number().over(w_probe))
+            .filter(F.col("r") <= nprobe)
+            .select("query_id", "qvec", "cid")
+        )
+    else:
+        assigned = (
+            embeddings.withColumn("_sims", F.expr(_sims_expr(vec_col, centroids)))
+            # first occurrence of the max → lowest centroid id wins ties
+            .withColumn("cid", F.expr("array_position(_sims, array_max(_sims)) - 1"))
+            .drop("_sims")
+        )
+        # per-query nprobe nearest centroids (tiny: |queries| × n_centroids)
+        probe_structs = [
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.expr(f"round({_cosine_expr('qvec', _lit_array(c))}, 6)").alias("qsim"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+        probes = (
+            queries.select("query_id", "qvec", F.explode(F.array(*probe_structs)).alias("p"))
+            .select("query_id", "qvec", "p.cid", "p.qsim")
+            .withColumn("r", F.row_number().over(w_probe))
+            .filter(F.col("r") <= nprobe)
+            .select("query_id", "qvec", "cid")
+        )
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("query_id"))

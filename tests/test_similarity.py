@@ -110,3 +110,49 @@ def test_cosine_pairs_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {(r.a, r.b) for r in cosine_pairs(df, threshold=0.99).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_ivf_join_path_matches_literal_path(spark, emb):
+    """The broadcast-DataFrame centroid carrier (plan size constant in
+    centroid count) must rank identically to the literal-inlined path."""
+    from log_parser_cli_spark.extras.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        vectors_to_df,
+    )
+
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    cents = kmeans_centroids([v for _, v in rows], k=6, iters=10)
+    lit = ivf_topk(emb, query_ids=[0, 40, 80], k=5, centroids=cents, nprobe=2)
+    cdf = vectors_to_df(spark, cents, "cents")
+    joined = ivf_topk(emb, query_ids=[0, 40, 80], k=5, centroids_df=cdf, nprobe=2)
+    lit_rows = sorted(map(tuple, lit.collect()))
+    join_rows = sorted(map(tuple, joined.collect()))
+    assert lit_rows and lit_rows == join_rows
+    # and the join path's parsed plan really is centroid-count independent:
+    # the broadcast carrier keeps every centroid OUT of the expression tree
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "cents" in plan and str(cents[0][0]) not in plan
+
+
+def test_rhp_join_path_matches_literal_path(spark, emb):
+    """Broadcast-plane RHP signatures produce the exact same candidate set
+    as the literal-inlined hyperplanes."""
+    from log_parser_cli_spark.extras.similarity import (
+        hyperplanes,
+        rhp_candidates,
+        vectors_to_df,
+    )
+
+    lit = {
+        (r.a, r.b)
+        for r in rhp_candidates(emb, dim=16, n_planes=24, rows_per_band=3).collect()
+    }
+    pdf = vectors_to_df(spark, hyperplanes(24, 16), "planes")
+    joined = {
+        (r.a, r.b)
+        for r in rhp_candidates(
+            emb, dim=16, n_planes=24, rows_per_band=3, planes_df=pdf
+        ).collect()
+    }
+    assert lit and joined == lit

@@ -170,7 +170,38 @@ def main() -> int:
         )
     )
 
+    # IVF join path: centroids as broadcast DATA (single-row array column +
+    # higher-order-function argmax) — the plan must contain no centroid
+    # literal and must not grow with centroid count (the literal path's
+    # expression tree is O(centroids × dim), which collapses at production
+    # IVF sizes; this is the 100 TB carrier)
+    from log_parser_cli_spark.extras.similarity import kmeans_centroids, vectors_to_df
+
+    import pyarrow.parquet as _pq
+
+    _tbl = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"])
+    _vecs = [r[1] for r in sorted(zip(_tbl["vec_id"].to_pylist(), _tbl["embedding"].to_pylist()))][:4096]
+    plans_by_k = {}
+    for k_c in (16, 64):
+        cdf = vectors_to_df(spark, kmeans_centroids(_vecs, k=k_c), "cents")
+        plans_by_k[k_c] = plan_of(ivf_topk(emb, [0, 1, 2, 3, 4], k=10, centroids_df=cdf, nprobe=5))
+    sections.append(
+        (
+            "IVF top-k JOIN path (broadcast centroid DataFrame + HOF argmax — plan size independent of centroid count)",
+            plans_by_k[16],
+            ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "WindowGroupLimit"],
+            ["CartesianProduct"],
+        )
+    )
+
     failures: list[str] = []
+    if abs(len(plans_by_k[16]) - len(plans_by_k[64])) > 200:
+        failures.append(
+            f"IVF join path plan grows with centroid count: "
+            f"{len(plans_by_k[16])} chars @k=16 vs {len(plans_by_k[64])} @k=64"
+        )
+    if str(cents[0][0]) in plans_by_k[16]:
+        failures.append("IVF join path leaks centroid literals into the plan")
     out = [
         "# PLANS — physical-plan evidence\n",
         "Generated by `python tools/explain_plans.py` (sf0.01). Each section",
@@ -193,6 +224,12 @@ def main() -> int:
         out.extend(checks)
         out.append("\n```\n" + plan.strip()[:4000] + "\n```\n")
 
+    out.append(
+        f"\nIVF join-path plan size: {len(plans_by_k[16])} chars @ k_centroids=16 vs "
+        f"{len(plans_by_k[64])} @ k_centroids=64 — constant in centroid count, no "
+        f"centroid literal in the plan text (the literal path is kept solely for "
+        f"DuckDB-oracle portability; `ann_ivf_join` hash-matches it).\n"
+    )
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     spark.stop()
