@@ -52,8 +52,20 @@ def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
 
 
 def _decode_image(payload: bytes) -> bytes:
-    """Real decode needs an image library not present in this container."""
-    raise NotImplementedError("image decode requires an image library (e.g. Pillow) — not bundled")
+    """Decode an image payload to raw pixel bytes.
+
+    PNG decodes for real (pure-stdlib codec, ``extras/png.py`` — zlib
+    inflate + scanline unfilter); JPEG/audio/video kernels genuinely need
+    external codec libraries not present in this container and stay stubbed.
+    """
+    from log_parser_cli_spark.extras.png import PNG_SIGNATURE, decode_png
+
+    if payload[:8] == PNG_SIGNATURE:
+        _w, _h, _c, pixels = decode_png(bytes(payload))
+        return pixels
+    raise NotImplementedError(
+        "only PNG decodes in-container (stdlib); JPEG/audio/video need codec libraries"
+    )
 
 
 def extract_features(
@@ -62,8 +74,13 @@ def extract_features(
     """Arrow-batched feature extraction over binary payloads.
 
     ``fake_decode=True`` computes deterministic features from the raw bytes
-    (length + md5-based perceptual-hash stand-in); ``False`` calls the real
-    decoder stub and raises — flip once decode libraries exist.
+    (length + md5 content hash) without decoding. ``fake_decode=False`` runs
+    the REAL decode kernel: PNG payloads inflate + unfilter to raw pixels
+    (``extras/png.py``, stdlib-only) and ``phash`` hashes the DECODED pixel
+    bytes — so two encodings of the same image (different filters or
+    compression levels) collapse to one hash, which raw-byte hashing cannot
+    do. Non-PNG payloads still raise ``NotImplementedError`` (JPEG/audio/
+    video codecs are not in this container).
     """
     out_schema = T.StructType(
         [f for f in assets.schema.fields if f.name != "payload"] + FEATURE_FIELDS
@@ -74,13 +91,18 @@ def extract_features(
             if len(pdf) == 0:
                 continue
             payloads = pdf["payload"]
-            if not fake_decode:
-                payloads.map(_decode_image)  # raises NotImplementedError
             out = pdf.drop(columns=["payload"]).copy()
             out["n_bytes"] = payloads.map(lambda b: len(b) if b is not None else 0).astype("int64")
-            out["phash"] = payloads.map(
-                lambda b: hashlib.md5(bytes(b)).hexdigest()[:16] if b is not None else None
-            )
+            if fake_decode:
+                out["phash"] = payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()[:16] if b is not None else None
+                )
+            else:
+                out["phash"] = payloads.map(
+                    lambda b: hashlib.md5(_decode_image(b)).hexdigest()[:16]
+                    if b is not None
+                    else None
+                )
             out["decoded"] = payloads.notna()
             yield out
 

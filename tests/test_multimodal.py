@@ -54,10 +54,64 @@ def test_payload_embeddings_feed_similarity_ops(spark):
     assert expect <= found
 
 
-def test_real_decode_is_stubbed(spark):
-    assets = make_fake_assets(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+def test_non_png_decode_is_stubbed(spark):
+    """JPEG/audio/video kernels still need external codecs: non-PNG payloads
+    under fake_decode=False raise instead of returning garbage."""
+    assets = make_fake_assets(spark, n=4)  # md5-noise payloads, no PNG signature
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
         extract_features(spark, assets, fake_decode=False).collect()
+
+
+def test_png_codec_roundtrip_all_filters_and_channels():
+    """The stdlib PNG codec round-trips every scanline filter (0–4) and
+    every supported channel count (grey, grey+alpha, RGB, RGBA)."""
+    from log_parser_cli_spark.extras.png import decode_png, encode_png
+
+    w, h = 6, 4
+    for c in (1, 2, 3, 4):
+        pixels = bytes(
+            ((x * 41 + y * 23 + ch * 7) & 0xFF)
+            for y in range(h)
+            for x in range(w)
+            for ch in range(c)
+        )
+        for ft in range(5):
+            assert decode_png(encode_png(w, h, c, pixels, filter_type=ft)) == (w, h, c, pixels)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x00" * 32)
+
+
+def test_real_png_decode_hashes_pixels_not_bytes(spark):
+    """fake_decode=False runs the REAL decode kernel: a known image
+    byte-checks against its raw pixels, and two different encodings of the
+    same image (filter 0 vs Paeth) collapse to ONE phash — impossible when
+    hashing raw payload bytes."""
+    import hashlib
+
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA
+    from log_parser_cli_spark.extras.png import encode_png
+
+    w, h, c = 6, 4, 3
+    pixels = bytes(
+        ((x * 40 + y * 20 + ch * 7) & 0xFF) for y in range(h) for x in range(w) for ch in range(c)
+    )
+    p0 = encode_png(w, h, c, pixels, filter_type=0)
+    p4 = encode_png(w, h, c, pixels, filter_type=4)
+    assert p0 != p4  # different bytes on disk...
+    assets = spark.createDataFrame(
+        [
+            ("png-0", bytearray(p0), "image/png", w, h, 0),
+            ("png-4", bytearray(p4), "image/png", w, h, 0),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = {
+        r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()
+    }
+    expect = hashlib.md5(pixels).hexdigest()[:16]
+    assert feats["png-0"].phash == expect  # byte-checked against known pixels
+    assert feats["png-4"].phash == expect  # ...same decoded-content hash
+    assert feats["png-0"].decoded and feats["png-0"].n_bytes == len(p0)
 
 
 def test_frame_sample_plan_no_payload_scan(spark):
