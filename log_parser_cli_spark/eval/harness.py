@@ -134,10 +134,19 @@ def eval_from_reports(
     cols = METRIC_COLS + ["coverage"]
     per_dataset: dict[str, dict[str, float]] = {}
     try:
-        head = cells_df.limit(max_driver_cells + 1).collect()
-        if len(head) <= max_driver_cells:
+        # ONE aggregation job probes the cell-count AND the per-source totals
+        # while fully materializing the cache; the previous
+        # limit(N+1).collect() probe ran its own incremental jobs and the
+        # oversized branch re-scanned for totals (the round-3 2.6× wall)
+        stats = {
+            r["source"]: (r["n_cells"], r["tot"])
+            for r in cells_df.groupBy("source")
+            .agg(F.count("*").alias("n_cells"), F.sum("cnt").alias("tot"))
+            .collect()
+        }
+        if sum(n for n, _t in stats.values()) <= max_driver_cells:
             per_source_cells: dict[str, list[tuple[str, str, int]]] = {}
-            for r in head:
+            for r in cells_df.collect():  # second pass reads the cache
                 per_source_cells.setdefault(r["source"], []).append(
                     (r["pred_id"], r["gt_id"], r["cnt"])
                 )
@@ -154,17 +163,14 @@ def eval_from_reports(
                 )
                 per_dataset[source] = m
         else:
-            # oversized cells: per-dataset distributed arithmetic on the
-            # cached cells; only per-dataset totals reach the driver
-            src_totals = {
-                r["source"]: r["tot"]
-                for r in cells_df.groupBy("source").agg(F.sum("cnt").alias("tot")).collect()
-            }
-            for source in sorted(set(src_totals) | set(failed)):
+            # oversized cells (degenerate labelings where cells ≈ rows):
+            # per-dataset distributed arithmetic on the cached cells; only
+            # per-dataset totals reach the driver
+            for source in sorted(set(stats) | set(failed)):
                 src_cells = cells_df.filter(F.col("source") == source).select(
                     F.col("pred_id").alias("pred"), F.col("gt_id").alias("gt"), "cnt"
                 )
-                total = src_totals.get(source, 0)
+                total = stats.get(source, (0, 0))[1] or 0
                 m = (
                     _distributed_metrics(src_cells)
                     if total

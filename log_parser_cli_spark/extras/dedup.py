@@ -60,7 +60,10 @@ def jaccard_pairs(
     scale path; without, scoring happens for every shingle-sharing pair
     (fine at test scale, quadratic in duplicate-group size at 100 TB).
     """
-    sh = shingles(df, id_col, text_col, k).cache()
+    # no .cache(): shingling is a narrow transform recomputed per reference
+    # (3 scans max), and at the design scale a shingle cache wouldn't fit
+    # executor storage anyway — a session-lifetime pin was the round-3 leak
+    sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         # restrict the join INPUTS to candidate pairs before any pair is

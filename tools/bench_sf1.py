@@ -51,6 +51,11 @@ def ensure_sharded_fixture() -> str:
 
     spark = bench._new_spark(bench.CPUS)
     os.makedirs(dst, exist_ok=True)
+    # _DONE.json is written last; its absence means any existing shard dirs
+    # are a crashed partial build — re-appending on top would silently
+    # inflate the corpus past 192M rows, so rebuild from scratch
+    for partial in ("sequences.parquet", "labels.parquet"):
+        shutil.rmtree(os.path.join(dst, partial), ignore_errors=True)
     for small in ("vocab", "sources", "templates"):
         shutil.copy(os.path.join(src, f"{small}.parquet"), os.path.join(dst, f"{small}.parquet"))
     seq = spark.read.parquet(os.path.join(src, "sequences.parquet"))
