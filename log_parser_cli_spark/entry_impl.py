@@ -583,6 +583,59 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wide-radius probe (combination pigeonhole): radius 8 over 60 bits with 10
+# chunks of 6 bits, banding every C(10, 2)=45 chunk PAIR (12-bit keys) — a
+# pair at distance ≤ 8 agrees on ≥ 2 chunks, so some pair-combination
+# matches exactly; simhash_wide_recall proves recall == 1.0 vs brute force.
+SIMHASH_WIDE_HAMMING = 8
+SIMHASH_WIDE_CHUNKS = 10
+SIMHASH_WIDE_COMBO = 2
+
+
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from log_parser_cli_spark.extras.dedup import simhash, simhash_pairs_wide
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    fp = simhash(docs, "doc_id", "text")
+    return simhash_pairs_wide(
+        fp,
+        max_hamming=SIMHASH_WIDE_HAMMING,
+        chunks=SIMHASH_WIDE_CHUNKS,
+        combo_size=SIMHASH_WIDE_COMBO,
+    ).select(F.col("a").cast("long"), F.col("b").cast("long"), F.col("hamming").cast("long"))
+
+
+def q_simhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combination-pigeonhole recall gate at radius 8 — exactly 1.0, the same
+    hard guarantee simhash_recall gives radius 3 (round-2 advertised radius 8
+    without the guarantee; this restores the radius WITH it)."""
+    from log_parser_cli_spark.extras.dedup import (
+        simhash,
+        simhash_bruteforce_pairs,
+        simhash_pairs_wide,
+    )
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    fp = simhash(docs, "doc_id", "text")
+    banded = simhash_pairs_wide(
+        fp,
+        max_hamming=SIMHASH_WIDE_HAMMING,
+        chunks=SIMHASH_WIDE_CHUNKS,
+        combo_size=SIMHASH_WIDE_COMBO,
+    ).select("a", "b")
+    brute = simhash_bruteforce_pairs(fp, SIMHASH_WIDE_HAMMING).select("a", "b")
+    return (
+        brute.agg(F.count("*").alias("n_pairs_exact"))
+        .crossJoin(banded.agg(F.count("*").alias("n_pairs_banded")))
+        .crossJoin(banded.join(brute, ["a", "b"]).agg(F.count("*").alias("n_hit")))
+        .select(
+            F.col("n_pairs_exact").cast("long").alias("n_pairs_exact"),
+            F.col("n_pairs_banded").cast("long").alias("n_pairs_banded"),
+            F.round(F.col("n_hit") / F.col("n_pairs_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.similarity import cosine_topk
 
@@ -782,6 +835,8 @@ QUERIES = {
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "simhash_recall": q_simhash_recall,
+    "dedup_simhash_wide": q_dedup_simhash_wide,
+    "simhash_wide_recall": q_simhash_wide_recall,
     "rhp_recall": q_rhp_recall,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -884,6 +939,64 @@ hashed AS (SELECT doc, {h} AS h FROM w),
 bitsums AS (SELECT doc, {bit_sum_cols} FROM hashed GROUP BY doc),
 fp AS (SELECT doc, {fp_expr} AS simhash FROM bitsums),
 banded AS ({chunk_selects})"""
+
+
+def _simhash_combo_banded_cte(
+    max_hamming: int = 8, chunks: int = 10, combo_size: int = 2, bits: int = 60
+) -> str:
+    """Like ``_simhash_fp_banded_cte`` but bands every C(chunks, combo_size)
+    chunk COMBINATION (concatenated chunk values as the key) — the oracle
+    twin of ``dedup.simhash_pairs_wide``; itertools.combinations order is
+    deterministic, so band ids line up on both sides."""
+    from itertools import combinations
+
+    width = bits // chunks
+    mask = (1 << width) - 1
+    combo_selects = " UNION ALL ".join(
+        f"SELECT doc, simhash, {i} AS band, "
+        + " + ".join(
+            f"(((simhash >> {c * width}) & {mask}) << {j * width})" for j, c in enumerate(combo)
+        )
+        + " AS val FROM fp"
+        for i, combo in enumerate(combinations(range(chunks), combo_size))
+    )
+    base = _simhash_fp_banded_cte(chunks, bits)
+    # reuse the fp CTEs; replace the single-chunk banding with combinations
+    return base[: base.index("banded AS (")] + f"banded AS ({combo_selects})"
+
+
+def _simhash_wide_sql(
+    max_hamming: int = 8, chunks: int = 10, combo_size: int = 2, bits: int = 60
+) -> str:
+    return f"""
+WITH {_simhash_combo_banded_cte(max_hamming, chunks, combo_size, bits)}
+SELECT DISTINCT CAST(x.doc AS BIGINT) AS a, CAST(y.doc AS BIGINT) AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM banded x JOIN banded y USING (band, val)
+WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+def _simhash_wide_recall_sql(
+    max_hamming: int = 8, chunks: int = 10, combo_size: int = 2, bits: int = 60
+) -> str:
+    return f"""
+WITH {_simhash_combo_banded_cte(max_hamming, chunks, combo_size, bits)},
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y USING (band, val)
+  WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+),
+brute AS (
+  SELECT x.doc AS a, y.doc AS b
+  FROM fp x JOIN fp y ON x.doc < y.doc
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+)
+SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_pairs_exact,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_pairs_banded,
+       round(CAST((SELECT count(*) FROM cand JOIN brute USING (a, b)) AS DOUBLE)
+             / (SELECT count(*) FROM brute), 6) AS recall
+"""
 
 
 def _simhash_sql(max_hamming: int = 3, chunks: int = 4, bits: int = 60) -> str:
@@ -1324,6 +1437,12 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_minhash_docs": _minhash_sql(0.3),
         "dedup_simhash_docs": _simhash_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
         "simhash_recall": _simhash_recall_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
+        "dedup_simhash_wide": _simhash_wide_sql(
+            SIMHASH_WIDE_HAMMING, SIMHASH_WIDE_CHUNKS, SIMHASH_WIDE_COMBO
+        ),
+        "simhash_wide_recall": _simhash_wide_recall_sql(
+            SIMHASH_WIDE_HAMMING, SIMHASH_WIDE_CHUNKS, SIMHASH_WIDE_COMBO
+        ),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
             scored AS (

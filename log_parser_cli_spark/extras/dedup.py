@@ -254,6 +254,74 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataF
     )
 
 
+def simhash_pairs_wide(
+    fp: DataFrame, max_hamming: int = 8, chunks: int = 10, combo_size: int | None = None
+) -> DataFrame:
+    """Wide-radius Hamming pairs via chunk-COMBINATION banding.
+
+    Generalized pigeonhole (the HmSearch/multi-index construction): ≤ r
+    differing bits touch ≤ r chunks, so ≥ chunks − r chunks agree exactly —
+    banding on every C(chunks, q) combination with q ≤ chunks − r keys has
+    recall 1 by construction. Compared to ``simhash_pairs`` (q = 1, radius
+    capped at chunks − 1, key width shrinking as chunks grows), each band
+    key here carries q × width bits of selectivity, so radius 8 over 60
+    bits runs with 10 chunks / q=2 / 45 bands on 12-bit keys instead of
+    drowning in 6-bit single-chunk buckets. Banded-row cost is
+    C(chunks, q) × corpus — a documented space/selectivity trade.
+    """
+    from itertools import combinations
+
+    if combo_size is None:
+        combo_size = chunks - max_hamming
+    if combo_size < 1 or combo_size > chunks - max_hamming:
+        raise ValueError(
+            f"combination pigeonhole needs 1 <= combo_size <= chunks - max_hamming "
+            f"(got combo_size={combo_size}, chunks={chunks}, max_hamming={max_hamming}): "
+            f"a pair at distance {max_hamming} may agree on only {chunks - max_hamming} "
+            f"chunks, so larger combos can miss it"
+        )
+    if SIMHASH_BITS % chunks != 0:
+        raise ValueError(
+            f"chunks={chunks} must divide {SIMHASH_BITS} bits — a remainder "
+            f"leaves high bits outside every band (silent recall hole)"
+        )
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    combos = list(combinations(range(chunks), combo_size))
+    banded = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            " + ".join(
+                                f"(((simhash >> {c * width}) & {mask}) << {j * width})"
+                                for j, c in enumerate(combo)
+                            )
+                        ).alias("val"),
+                    )
+                    for i, combo in enumerate(combos)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.val")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_bruteforce_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     """All pairs within Hamming ≤ ``max_hamming`` by a full self-join — the
     recall BASELINE for the ``simhash_recall`` check at test scale only

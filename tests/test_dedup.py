@@ -132,3 +132,46 @@ def test_simhash_pairs_no_crossjoin(spark, docs):
     plan = simhash_pairs(fp).sample(False, 1.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_wide_combo_recall_is_total(spark, docs):
+    """Combination pigeonhole at radius 8 (10 chunks, pair-combos): banded
+    pairs == brute-force pairs — the wide-radius guarantee the single-chunk
+    scheme cannot give without collapsing to 6-bit buckets."""
+    import pyspark.sql.functions as F
+
+    from log_parser_cli_spark.extras.dedup import simhash_pairs_wide
+
+    fp = simhash(docs, "doc_id", "text").cache()
+    banded = {
+        (r.a, r.b)
+        for r in simhash_pairs_wide(fp, max_hamming=8, chunks=10, combo_size=2).collect()
+    }
+    brute = {
+        (r.x, r.y)
+        for r in fp.alias("p")
+        .join(fp.alias("q"), F.col("p.doc") < F.col("q.doc"))
+        .select(
+            F.col("p.doc").alias("x"),
+            F.col("q.doc").alias("y"),
+            F.bit_count(F.expr("p.simhash ^ q.simhash")).alias("h"),
+        )
+        .filter(F.col("h") <= 8)
+        .collect()
+    }
+    fp.unpersist()
+    assert banded == brute
+
+
+def test_simhash_wide_rejects_unsound_params(docs):
+    """combo_size beyond chunks - max_hamming (or a non-dividing chunk count)
+    voids the combination guarantee — must raise."""
+    import pytest
+
+    from log_parser_cli_spark.extras.dedup import simhash_pairs_wide
+
+    fp = simhash(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="combo_size"):
+        simhash_pairs_wide(fp, max_hamming=8, chunks=10, combo_size=3)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs_wide(fp, max_hamming=8, chunks=9)
