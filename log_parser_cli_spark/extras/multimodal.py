@@ -58,11 +58,16 @@ def _decode_image(payload: bytes) -> bytes:
     inflate + scanline unfilter); JPEG/audio/video kernels genuinely need
     external codec libraries not present in this container and stay stubbed.
     """
+    import struct
+
     from log_parser_cli_spark.extras.png import PNG_SIGNATURE, decode_png
 
     if payload[:8] == PNG_SIGNATURE:
-        _w, _h, _c, pixels = decode_png(bytes(payload))
-        return pixels
+        w, h, c, pixels = decode_png(bytes(payload))
+        # prefix the dimensions: two images whose rasters serialize to the
+        # same byte stream (e.g. 2x3 vs 3x2 greyscale) must not collide
+        # when the decoded content is hashed
+        return struct.pack(">IIB", w, h, c) + pixels
     raise NotImplementedError(
         "only PNG decodes in-container (stdlib); JPEG/audio/video need codec libraries"
     )

@@ -74,9 +74,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
 
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: IHDR fixes the pixel-buffer size up front, so a
+    # decompression bomb (tiny IDAT inflating to GBs) is rejected after at
+    # most expected+1 bytes instead of materializing in executor memory
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or (d.flush() or d.unconsumed_tail):
         raise ValueError("pixel data size mismatch")
     out = bytearray(stride * height)
     prev_start = -1

@@ -65,7 +65,9 @@ def _maintenance(spark, args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="log_parser_cli_spark pipeline job")
-    ap.add_argument("--fixtures", required=True, help="fixture dir (sequences/vocab/sources parquet)")
+    ap.add_argument("--fixtures", default=None,
+                    help="fixture dir (sequences/vocab/sources parquet); required "
+                         "except in maintenance mode (--vacuum/--read-snapshot)")
     ap.add_argument("--out", required=True, help="output dir for routed tables + aggregates")
     ap.add_argument("--run-id", default="run-1")
     ap.add_argument("--resume", action="store_true", help="skip stages committed in the manifest")
@@ -95,12 +97,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintenance mode: time-travel read of the routed table at "
                          "VERSION; prints row count + top template counts and exits")
     args = ap.parse_args(argv)
+    maintenance = args.vacuum is not None or args.read_snapshot is not None
+    if not maintenance and args.fixtures is None:
+        ap.error("--fixtures is required unless running --vacuum/--read-snapshot")
+    if args.retain_snapshots < 1:
+        ap.error("--retain-snapshots must be >= 1 (retention below 1 would vacuum the current snapshot)")
 
     from log_parser_cli_spark.plans.pipeline import read_routed, run_pipeline
     from log_parser_cli_spark.session import get_spark
 
     spark = get_spark(app_name=f"lpcs-{args.run_id}", cores=args.cores)
-    maintenance = args.vacuum is not None or args.read_snapshot is not None
     if maintenance:
         # table maintenance operates on an existing out dir only — the
         # snapshot history is the table-level twin of the reference's

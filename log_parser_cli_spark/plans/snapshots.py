@@ -195,9 +195,17 @@ class SnapshotTable:
         staged = self._stage(df, partition_by)
         for _ in range(retries):
             parent = self.current_version()
-            base = self.manifest(parent)["data_dirs"] if parent is not None else []
+            base: list[str] = []
+            tags: dict[str, int] = {}
+            if parent is not None:
+                m = self.manifest(parent)
+                base = m["data_dirs"]
+                # carry the parent's batch tags forward — dropping them would
+                # let a later commit_batch retry miss its own prior dir and
+                # duplicate that micro-batch's rows
+                tags = {d: b for d, b in m.get("dir_batches", {}).items() if d in base}
             try:
-                return self._try_commit(parent, "append", base + [staged], {})
+                return self._try_commit(parent, "append", base + [staged], {}, tags or None)
             except ConcurrentCommitError:
                 continue
         raise ConcurrentCommitError(f"gave up after {retries} racing commits")
@@ -283,6 +291,7 @@ class SnapshotTable:
         current = self.current_version()
         if current is None:
             return []
+        keep_last = max(1, keep_last)  # keep_last <= 0 would vacuum the CURRENT snapshot
         retained_versions = [v for v in (current - i for i in range(keep_last)) if v >= 0]
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         committed: set[str] = set()  # referenced by ANY existing manifest
@@ -291,7 +300,10 @@ class SnapshotTable:
             if not (name.startswith("v") and name.endswith(".json") and name[1:13].isdigit()):
                 continue
             v = int(name[1:13])
-            dirs = self.manifest(v)["data_dirs"]
+            try:
+                dirs = self.manifest(v)["data_dirs"]
+            except FileNotFoundError:
+                continue  # expired manifest deleted by a concurrent vacuum
             committed.update(dirs)
             if v in retained_versions:
                 retained.update(dirs)
@@ -311,7 +323,10 @@ class SnapshotTable:
         for name in os.listdir(mdir):
             path = os.path.join(mdir, name)
             if name.endswith(".json") and int(name[1:13]) < min(retained_versions):
-                os.unlink(path)
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass  # unlinked by a concurrent vacuum
             elif name.endswith(".tmp"):
                 # crashed _try_commit between temp-write and finally-unlink;
                 # age-gated because a live committer's temp exists briefly

@@ -108,7 +108,11 @@ def test_real_png_decode_hashes_pixels_not_bytes(spark):
     feats = {
         r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()
     }
-    expect = hashlib.md5(pixels).hexdigest()[:16]
+    # the hashed content is dimension-prefixed: same raster bytes under
+    # transposed dimensions (2x3 vs 3x2) must not collide
+    import struct
+
+    expect = hashlib.md5(struct.pack(">IIB", w, h, c) + pixels).hexdigest()[:16]
     assert feats["png-0"].phash == expect  # byte-checked against known pixels
     assert feats["png-4"].phash == expect  # ...same decoded-content hash
     assert feats["png-0"].decoded and feats["png-0"].n_bytes == len(p0)

@@ -123,6 +123,26 @@ def test_commit_batch_retry_replaces_own_output(spark, tmp_path):
     assert {r.template_id for r in t.read(spark).collect()} == {"a#1", "b#1"}
 
 
+def test_commit_append_preserves_batch_tags(spark, tmp_path):
+    """An append between micro-batches must carry the parent's batch tags
+    forward — otherwise a replayed batch no longer recognizes its own prior
+    dir and duplicates its rows."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_batch(_df(spark, [("a#1", "a", 1)]), batch_id=5)
+    t.commit_append(_df(spark, [("x#1", "x", 9)]))  # operator backfill
+    t.commit_batch(_df(spark, [("a#1", "a", 1)]), batch_id=5)  # crash replay
+    got = sorted((r.template_id, r.n) for r in t.read(spark).collect())
+    assert got == [("a#1", 1), ("x#1", 9)]  # batch 5 not duplicated
+
+
+def test_vacuum_clamps_nonpositive_retention(spark, tmp_path):
+    """keep_last <= 0 must never vacuum the CURRENT snapshot's data."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))
+    t.vacuum(keep_last=0)
+    assert t.read(spark).count() == 1
+
+
 def test_merge_upserts_by_key(spark, tmp_path):
     """MERGE INTO stand-in (K5): same-key rows replaced, new keys union."""
     t = SnapshotTable(str(tmp_path / "t"))

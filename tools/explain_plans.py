@@ -175,15 +175,16 @@ def main() -> int:
     # literal and must not grow with centroid count (the literal path's
     # expression tree is O(centroids × dim), which collapses at production
     # IVF sizes; this is the 100 TB carrier)
-    from log_parser_cli_spark.extras.similarity import kmeans_centroids, vectors_to_df
+    from log_parser_cli_spark.extras.similarity import vectors_to_df
 
-    import pyarrow.parquet as _pq
-
-    _tbl = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"])
-    _vecs = [r[1] for r in sorted(zip(_tbl["vec_id"].to_pylist(), _tbl["embedding"].to_pylist()))][:4096]
     plans_by_k = {}
     for k_c in (16, 64):
-        cdf = vectors_to_df(spark, kmeans_centroids(_vecs, k=k_c), "cents")
+        # centroids_from_parquet is the shared Spark/oracle centroid source —
+        # reusing it keeps this evidence on the same centroids the gated
+        # queries run with
+        cdf = vectors_to_df(
+            spark, centroids_from_parquet("/root/testdata/sf0.01/embeddings.parquet", k=k_c), "cents"
+        )
         plans_by_k[k_c] = plan_of(ivf_topk(emb, [0, 1, 2, 3, 4], k=10, centroids_df=cdf, nprobe=5))
     sections.append(
         (
