@@ -51,25 +51,32 @@ def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def _decode_image(payload: bytes) -> bytes:
-    """Decode an image payload to raw pixel bytes.
+def _decode_payload(payload: bytes) -> bytes:
+    """Decode a payload to its raw decoded content bytes.
 
-    PNG decodes for real (pure-stdlib codec, ``extras/png.py`` — zlib
-    inflate + scanline unfilter); JPEG/audio/video kernels genuinely need
-    external codec libraries not present in this container and stay stubbed.
+    PNG (``extras/png.py``: zlib inflate + scanline unfilter) and PCM WAV
+    (``extras/wav.py``: RIFF parse) decode for real with stdlib only;
+    JPEG/compressed-audio/video kernels genuinely need external codec
+    libraries not present in this container and stay stubbed. The returned
+    bytes are prefixed with the decoded geometry (dims / channel+rate+bits):
+    two payloads whose raw streams coincide under different shapes must not
+    collide when the decoded content is hashed.
     """
     import struct
 
     from log_parser_cli_spark.extras.png import PNG_SIGNATURE, decode_png
+    from log_parser_cli_spark.extras.wav import RIFF_MAGIC, WAVE_MAGIC, decode_wav
 
-    if payload[:8] == PNG_SIGNATURE:
-        w, h, c, pixels = decode_png(bytes(payload))
-        # prefix the dimensions: two images whose rasters serialize to the
-        # same byte stream (e.g. 2x3 vs 3x2 greyscale) must not collide
-        # when the decoded content is hashed
+    data = bytes(payload)
+    if data[:8] == PNG_SIGNATURE:
+        w, h, c, pixels = decode_png(data)
         return struct.pack(">IIB", w, h, c) + pixels
+    if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_MAGIC:
+        n_ch, rate, bits, frames = decode_wav(data)
+        return struct.pack(">HIH", n_ch, rate, bits) + frames
     raise NotImplementedError(
-        "only PNG decodes in-container (stdlib); JPEG/audio/video need codec libraries"
+        "only PNG and PCM WAV decode in-container (stdlib); "
+        "JPEG/compressed-audio/video need codec libraries"
     )
 
 
@@ -80,12 +87,14 @@ def extract_features(
 
     ``fake_decode=True`` computes deterministic features from the raw bytes
     (length + md5 content hash) without decoding. ``fake_decode=False`` runs
-    the REAL decode kernel: PNG payloads inflate + unfilter to raw pixels
-    (``extras/png.py``, stdlib-only) and ``phash`` hashes the DECODED pixel
-    bytes — so two encodings of the same image (different filters or
-    compression levels) collapse to one hash, which raw-byte hashing cannot
-    do. Non-PNG payloads still raise ``NotImplementedError`` (JPEG/audio/
-    video codecs are not in this container).
+    the REAL decode kernels: PNG payloads inflate + unfilter to raw pixels
+    (``extras/png.py``) and PCM WAV payloads parse to raw frames
+    (``extras/wav.py``), both stdlib-only, and ``phash`` hashes the DECODED
+    content — so two encodings of the same image (different filters /
+    compression levels) or two WAV containers of the same samples (extra
+    RIFF chunks) collapse to one hash, which raw-byte hashing cannot do.
+    Other payloads still raise ``NotImplementedError`` (JPEG/compressed-
+    audio/video codecs are not in this container).
     """
     out_schema = T.StructType(
         [f for f in assets.schema.fields if f.name != "payload"] + FEATURE_FIELDS
@@ -104,7 +113,7 @@ def extract_features(
                 )
             else:
                 out["phash"] = payloads.map(
-                    lambda b: hashlib.md5(_decode_image(b)).hexdigest()[:16]
+                    lambda b: hashlib.md5(_decode_payload(b)).hexdigest()[:16]
                     if b is not None
                     else None
                 )

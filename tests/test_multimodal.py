@@ -127,3 +127,56 @@ def test_frame_sample_plan_no_payload_scan(spark):
     assert len(rows) == expected
     # the physical plan must not read the payload column
     assert "payload" not in plan_df.columns
+
+
+def test_wav_codec_roundtrip_and_chunk_skipping():
+    """The stdlib WAV codec round-trips PCM frames and skips unknown RIFF
+    chunks (LIST/INFO) per spec; non-PCM encodings are rejected."""
+    import struct
+
+    from log_parser_cli_spark.extras.wav import decode_wav, encode_wav
+
+    samples = [((i * 2749) % 65536) - 32768 for i in range(400)]  # 2ch x 200 frames
+    wav = encode_wav(2, 16000, samples)
+    n_ch, rate, bits, frames = decode_wav(wav)
+    assert (n_ch, rate, bits) == (2, 16000, 16)
+    assert frames == struct.pack("<400h", *samples)
+    # unknown chunk before data is skipped, frames unchanged
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    assert decode_wav(encode_wav(2, 16000, samples, extra_chunks=extra))[3] == frames
+    bad = bytearray(wav)
+    bad[20:22] = struct.pack("<H", 3)  # audio_format = 3 (IEEE float)
+    with pytest.raises(ValueError, match="PCM only"):
+        decode_wav(bytes(bad))
+
+
+def test_real_wav_decode_hashes_frames_not_bytes(spark):
+    """fake_decode=False decodes WAV containers: the same PCM frames under
+    different container bytes (extra RIFF chunk) collapse to ONE phash."""
+    import hashlib
+    import struct
+
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA
+    from log_parser_cli_spark.extras.wav import encode_wav
+
+    samples = [((i * 997) % 65536) - 32768 for i in range(320)]
+    w0 = encode_wav(1, 8000, samples)
+    w1 = encode_wav(
+        1, 8000, samples, extra_chunks=b"LIST" + struct.pack("<I", 4) + b"INFO"
+    )
+    assert w0 != w1
+    assets = spark.createDataFrame(
+        [
+            ("wav-0", bytearray(w0), "audio/wav", 0, 0, 40),
+            ("wav-1", bytearray(w1), "audio/wav", 0, 0, 40),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = {
+        r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()
+    }
+    expect = hashlib.md5(
+        struct.pack(">HIH", 1, 8000, 16) + struct.pack("<320h", *samples)
+    ).hexdigest()[:16]
+    assert feats["wav-0"].phash == expect
+    assert feats["wav-1"].phash == expect
