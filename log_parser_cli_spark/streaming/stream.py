@@ -200,6 +200,47 @@ def stream_with_discovery(
     return writer.start()
 
 
+def stream_dedup_events(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Streaming exact dedup with BOUNDED state (Spark-native extension,
+    the streaming twin of ``extras.dedup.exact_dup_stats``): duplicate
+    ``event_id``s arriving within the event-time watermark are dropped via
+    ``dropDuplicatesWithinWatermark``, and the dedup state for an id is
+    evicted once the watermark passes its event time. A plain
+    ``dropDuplicates`` on a stream keeps every id ever seen in state —
+    unbounded growth on an unbounded stream; the watermarked form is the
+    only shape that runs forever at the design scale (duplicates in real
+    pipelines arrive close together: retries, at-least-once producers).
+
+    Returns the started query; output appends to ``out_dir/deduped``.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "deduped"))
+        .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

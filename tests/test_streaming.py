@@ -108,6 +108,32 @@ def test_stream_kill_mid_batch_never_exposes_partial(
     assert read_routed(spark, out).count() == read_routed(spark, pipeline_out).count()
 
 
+def test_stream_dedup_events_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: duplicate event_ids across micro-batches (the
+    at-least-once-producer shape) are dropped; state is watermark-bounded."""
+    from log_parser_cli_spark.streaming.stream import stream_dedup_events
+
+    src = str(tmp_path / "events_src")
+    rows = [
+        (i, f"2024-01-01 00:{i % 50:02d}:00", i % 7, "click", 1.0, "{}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src)
+    # second file replays half the ids (producer retry) → exact duplicates
+    df.filter(F.col("event_id") < 100).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    q = stream_dedup_events(spark, src, out, watermark="1 hour", available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out, "deduped"))
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert sorted(ids) == list(range(200))  # each id exactly once
+    assert len(ids) == len(set(ids))
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     rows = [
         ("2024-01-01 00:10:00", "click"),
