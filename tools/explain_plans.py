@@ -114,6 +114,18 @@ def main() -> int:
         )
     )
 
+    from log_parser_cli_spark.extras.dedup import simhash_pairs_wide
+
+    sh_wide = simhash_pairs_wide(simhash(docs, "doc_id", "text"), max_hamming=8, chunks=10)
+    sections.append(
+        (
+            "simhash WIDE radius 8 (C(10,2)=45 combination bands, still equi-joins only)",
+            plan_of(sh_wide),
+            ["HashJoin"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     topk = cosine_topk(emb, [0, 1, 2], k=5)
     sections.append(
