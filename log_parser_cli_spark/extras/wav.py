@@ -39,6 +39,11 @@ def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
         if len(body) != length:
             raise ValueError("truncated chunk")
         if ctype == b"fmt ":
+            if fmt is not None:
+                # a second fmt chunk would silently redefine the geometry of
+                # frames already accepted — reject, matching the decoder's
+                # never-returns-garbage posture
+                raise ValueError("duplicate fmt chunk")
             if length < 16:
                 raise ValueError("fmt chunk too short")
             audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = struct.unpack(
@@ -52,6 +57,10 @@ def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("block alignment inconsistent with channels/bits")
             fmt = (n_channels, sample_rate, bits, block_align)
         elif ctype == b"data":
+            if frames is not None:
+                # letting a later data chunk win would make byte-identical
+                # audio content hash differently depending on chunk layout
+                raise ValueError("duplicate data chunk")
             frames = body
         pos += 8 + length + (length & 1)  # chunks are word-aligned (pad byte)
     if fmt is None or frames is None:

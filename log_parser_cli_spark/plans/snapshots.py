@@ -305,7 +305,11 @@ class SnapshotTable:
             except FileNotFoundError:
                 continue  # expired manifest deleted by a concurrent vacuum
             committed.update(dirs)
-            if v in retained_versions:
+            if v in retained_versions or v > current:
+                # v > current: committed by a concurrent writer AFTER we
+                # sampled current_version() — it is the table's NEWEST
+                # snapshot, not an expired one; deleting its data dirs here
+                # would break the very snapshot readers are about to see
                 retained.update(dirs)
         now = time.time()
         removed = []
@@ -322,7 +326,8 @@ class SnapshotTable:
                 removed.append(name)
         for name in os.listdir(mdir):
             path = os.path.join(mdir, name)
-            if name.endswith(".json") and int(name[1:13]) < min(retained_versions):
+            is_manifest = name.startswith("v") and name.endswith(".json") and name[1:13].isdigit()
+            if is_manifest and int(name[1:13]) < min(retained_versions):
                 try:
                     os.unlink(path)
                 except OSError:

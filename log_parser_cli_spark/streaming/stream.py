@@ -217,7 +217,12 @@ def stream_dedup_events(
     only shape that runs forever at the design scale (duplicates in real
     pipelines arrive close together: retries, at-least-once producers).
 
-    Returns the started query; output appends to ``out_dir/deduped``.
+    Returns the started query; output is the SnapshotTable at
+    ``out_dir/deduped`` — read it via ``SnapshotTable(...).read(spark)``, not
+    a plain parquet read. (The built-in streaming file sink's exactly-once
+    guarantee lives in its _spark_metadata log, which a plain parquet read
+    ignores; committing each micro-batch through the snapshot protocol makes
+    the no-torn-batch guarantee hold for ANY reader, same as the routed sink.)
     """
     schema = spark.read.parquet(events_dir).schema
     stream = (
@@ -230,11 +235,14 @@ def stream_dedup_events(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+    table = SnapshotTable(os.path.join(out_dir, "deduped"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_batch(batch_df, batch_id=batch_id)
+
     writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", os.path.join(out_dir, "deduped"))
+        deduped.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
-        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

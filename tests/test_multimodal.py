@@ -148,6 +148,16 @@ def test_wav_codec_roundtrip_and_chunk_skipping():
     bad[20:22] = struct.pack("<H", 3)  # audio_format = 3 (IEEE float)
     with pytest.raises(ValueError, match="PCM only"):
         decode_wav(bytes(bad))
+    # duplicate data/fmt chunks are rejected, not silently last-one-wins —
+    # otherwise the decoded-content phash depends on chunk layout (r4 ADVICE)
+    one_frame = struct.pack("<h", 7)
+    dup_data = b"data" + struct.pack("<I", 2) + one_frame
+    with pytest.raises(ValueError, match="duplicate data"):
+        decode_wav(encode_wav(1, 8000, [1, 2], extra_chunks=dup_data))
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    dup_fmt = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    with pytest.raises(ValueError, match="duplicate fmt"):
+        decode_wav(encode_wav(1, 8000, [1, 2], extra_chunks=dup_fmt))
 
 
 def test_real_wav_decode_hashes_frames_not_bytes(spark):

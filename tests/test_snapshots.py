@@ -135,6 +135,48 @@ def test_commit_append_preserves_batch_tags(spark, tmp_path):
     assert got == [("a#1", 1), ("x#1", 9)]  # batch 5 not duplicated
 
 
+def test_vacuum_retains_snapshot_committed_during_scan(spark, tmp_path, monkeypatch):
+    """Round-4 ADVICE (medium): a snapshot committed by a concurrent writer
+    BETWEEN vacuum's current_version() sample and its manifest scan has
+    version > the sampled current — it must be treated as retained, not
+    rmtree'd as an expired-manifest dir (it is the table's NEWEST snapshot)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [("a#1", "a", 1)]))  # v0
+    real_cv = SnapshotTable.current_version
+    fired = {"done": False}
+
+    def racy_cv(self):
+        v = real_cv(self)
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent committer publishes v1 right after the sample
+            staged = t._stage(_df(spark, [("b#1", "b", 2)]), None)
+            t._try_commit(v, "overwrite", [staged], {})
+        return v
+
+    monkeypatch.setattr(SnapshotTable, "current_version", racy_cv)
+    t.vacuum(keep_last=1)
+    monkeypatch.undo()
+    # v1 (newer than the stale sample) kept its data — the table is readable
+    assert t.current_version() == 1
+    assert t.read(spark).first().template_id == "b#1"
+
+
+def test_vacuum_skips_foreign_json_in_manifest_dir(spark, tmp_path):
+    """Round-4 ADVICE (low): a non-manifest .json dropped into _snapshots/
+    must not make vacuum raise ValueError mid-sweep."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    for n in range(3):
+        t.commit_overwrite(_df(spark, [("a#1", "a", n)]))
+    foreign = os.path.join(root, "_snapshots", "notes.json")
+    with open(foreign, "w") as f:
+        json.dump({"foreign": True}, f)
+    t.vacuum(keep_last=2)  # must not raise
+    assert os.path.exists(foreign)  # and must not delete what it doesn't own
+    assert t.read(spark).first().n == 2
+
+
 def test_vacuum_clamps_nonpositive_retention(spark, tmp_path):
     """keep_last <= 0 must never vacuum the CURRENT snapshot's data."""
     t = SnapshotTable(str(tmp_path / "t"))

@@ -111,6 +111,7 @@ def test_stream_kill_mid_batch_never_exposes_partial(
 def test_stream_dedup_events_bounded_state(spark, tmp_path):
     """Streaming exact dedup: duplicate event_ids across micro-batches (the
     at-least-once-producer shape) are dropped; state is watermark-bounded."""
+    from log_parser_cli_spark.plans.snapshots import SnapshotTable
     from log_parser_cli_spark.streaming.stream import stream_dedup_events
 
     src = str(tmp_path / "events_src")
@@ -128,7 +129,8 @@ def test_stream_dedup_events_bounded_state(spark, tmp_path):
     out = str(tmp_path / "dedup_out")
     q = stream_dedup_events(spark, src, out, watermark="1 hour", available_now=True)
     q.awaitTermination(120)
-    got = spark.read.parquet(os.path.join(out, "deduped"))
+    # the sink is a SnapshotTable (same no-torn-batch posture as routed)
+    got = SnapshotTable(os.path.join(out, "deduped")).read(spark)
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert sorted(ids) == list(range(200))  # each id exactly once
     assert len(ids) == len(set(ids))
