@@ -583,6 +583,49 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-bucket guard probe: the sf0.01 chunk banding has real degenerate
+# buckets (500- and 387-doc chunks), so a cap of 64 exercises the star path
+# ON THE DRIVER GATE — the guard's semantics are hash-checked against a SQL
+# twin of the star construction, not just pytest-asserted.
+SIMHASH_CAP_BUCKET = 64
+
+
+def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_pairs with the hot-bucket guard ACTIVE: buckets over
+    SIMHASH_CAP_BUCKET emit a spanning star (min-doc representative) instead
+    of all C(m,2) pairs — the 100 TB shape for boilerplate-heavy corpora.
+    Exact pair semantics hold for every bucket ≤ cap; capped buckets are
+    reported by the companion ``simhash_hot_buckets`` query."""
+    from log_parser_cli_spark.extras.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    fp = simhash(docs, "doc_id", "text")
+    return simhash_pairs(
+        fp,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        chunks=SIMHASH_CHUNKS,
+        max_bucket=SIMHASH_CAP_BUCKET,
+    ).select(F.col("a").cast("long"), F.col("b").cast("long"), F.col("hamming").cast("long"))
+
+
+def q_simhash_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps REPORT for the guarded query: how many buckets were
+    capped, the largest, and how many banded rows sit in them."""
+    from log_parser_cli_spark.extras.dedup import hot_bucket_stats, simhash, simhash_banded
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    stats = hot_bucket_stats(
+        simhash_banded(simhash(docs, "doc_id", "text"), SIMHASH_CHUNKS),
+        ["chunk", "val"],
+        SIMHASH_CAP_BUCKET,
+    )
+    return stats.agg(
+        F.count("*").cast("long").alias("n_hot_buckets"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).cast("long").alias("max_bucket_docs"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs_in_hot"),
+    )
+
+
 # Wide-radius probe (combination pigeonhole): radius 8 over 60 bits with 10
 # chunks of 6 bits, banding every C(10, 2)=45 chunk PAIR (12-bit keys) — a
 # pair at distance ≤ 8 agrees on ≥ 2 chunks, so some pair-combination
@@ -835,6 +878,8 @@ QUERIES = {
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "simhash_recall": q_simhash_recall,
+    "dedup_simhash_capped": q_dedup_simhash_capped,
+    "simhash_hot_buckets": q_simhash_hot_buckets,
     "dedup_simhash_wide": q_dedup_simhash_wide,
     "simhash_wide_recall": q_simhash_wide_recall,
     "rhp_recall": q_rhp_recall,
@@ -1028,6 +1073,50 @@ SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_pairs_exact,
        CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_pairs_banded,
        round(CAST((SELECT count(*) FROM cand JOIN brute USING (a, b)) AS DOUBLE)
              / (SELECT count(*) FROM brute), 6) AS recall
+"""
+
+
+def _simhash_capped_sql(max_hamming: int, chunks: int, cap: int, bits: int = 60) -> str:
+    """Oracle twin of ``simhash_pairs(..., max_bucket=cap)``: buckets over the
+    cap contribute a spanning star (lexicographic-min doc ↔ member) instead of
+    all pairs — replayed here with a window count + min + union, so the guard
+    itself is hash-gated."""
+    return f"""
+WITH {_simhash_fp_banded_cte(chunks, bits)},
+sized AS (
+  SELECT doc, simhash, chunk, val, count(*) OVER (PARTITION BY chunk, val) AS bsz
+  FROM banded
+),
+normal AS (SELECT doc, simhash, chunk, val FROM sized WHERE bsz <= {cap}),
+hot AS (SELECT doc, simhash, chunk, val FROM sized WHERE bsz > {cap}),
+rep AS (SELECT chunk, val, min(doc) AS rdoc FROM hot GROUP BY chunk, val),
+pairs AS (
+  SELECT DISTINCT a, b, sa, sb FROM (
+    SELECT x.doc AS a, y.doc AS b, x.simhash AS sa, y.simhash AS sb
+    FROM normal x JOIN normal y USING (chunk, val) WHERE x.doc < y.doc
+    UNION ALL
+    SELECT r.rdoc AS a, h.doc AS b, f2.simhash AS sa, h.simhash AS sb
+    FROM hot h JOIN rep r USING (chunk, val) JOIN fp f2 ON f2.doc = r.rdoc
+    WHERE h.doc <> r.rdoc
+  )
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _simhash_hot_buckets_sql(chunks: int, cap: int, bits: int = 60) -> str:
+    return f"""
+WITH {_simhash_fp_banded_cte(chunks, bits)},
+hb AS (
+  SELECT chunk, val, count(*) AS n FROM banded GROUP BY chunk, val
+  HAVING count(*) > {cap}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets,
+       CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_docs,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_in_hot
+FROM hb
 """
 
 
@@ -1437,6 +1526,10 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_minhash_docs": _minhash_sql(0.3),
         "dedup_simhash_docs": _simhash_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
         "simhash_recall": _simhash_recall_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
+        "dedup_simhash_capped": _simhash_capped_sql(
+            SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS, SIMHASH_CAP_BUCKET
+        ),
+        "simhash_hot_buckets": _simhash_hot_buckets_sql(SIMHASH_CHUNKS, SIMHASH_CAP_BUCKET),
         "dedup_simhash_wide": _simhash_wide_sql(
             SIMHASH_WIDE_HAMMING, SIMHASH_WIDE_CHUNKS, SIMHASH_WIDE_COMBO
         ),

@@ -107,11 +107,87 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+def hot_bucket_stats(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Buckets above the cap, one row per (key..., n_docs) — the no-silent-caps
+    REPORT that accompanies a guarded ``banded_pair_join``. Callers at scale
+    surface this next to the pair output (the reference's posture: conflicts
+    and failures are first-class reports, conflict-detector.ts:30-64)."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def banded_pair_join(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket: int | None = None,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs (a<b)."""
-    banded = sig.select(
+    """Self-join banded rows on bucket ``keys`` → distinct candidate pairs
+    (a < b), carrying each ``payload`` column for both sides as <c>_a / <c>_b.
+    The shared tail of every LSH candidate generator in this module and
+    extras/similarity.py.
+
+    ``max_bucket`` is the HOT-BUCKET GUARD. A bucket of m rows emits C(m, 2)
+    pairs, so one degenerate bucket — thousands of empty/boilerplate docs
+    sharing simhash 0, a dead band value — makes the join's OUTPUT quadratic,
+    and AQE can split a skewed input but not a quadratic output. Buckets above
+    the cap instead emit a spanning STAR against the bucket's
+    lexicographically smallest doc: O(m) rows, and since an oversized bucket
+    is by construction a near-total duplicate group, star edges preserve
+    exactly the connectivity that dedup grouping consumes. Pair-list
+    semantics stay EXACT for every bucket ≤ max_bucket; capped buckets are
+    reported by ``hot_bucket_stats`` over the same banded rows — no silent
+    truncation. With the default None the guard is off (the oracle-verified
+    exact shape; recall gates run here)."""
+    def pair_select():
+        return [
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            *[F.col(f"x.{c}").alias(f"{c}_a") for c in payload],
+            *[F.col(f"y.{c}").alias(f"{c}_b") for c in payload],
+        ]
+
+    if max_bucket is None:
+        return (
+            banded.alias("x")
+            .join(banded.alias("y"), list(keys))
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(*pair_select())
+            .distinct()
+        )
+    # one extra shuffle on the SAME bucket keys (AQE reuses the exchange);
+    # per-partition state is O(bucket size) rows, never O(bucket²)
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("_bsz", F.count("*").over(w))
+    normal = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    normal_pairs = (
+        normal.alias("x")
+        .join(normal.alias("y"), list(keys))
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(*pair_select())
+    )
+    hot = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
+    # min(struct) picks the lexicographically smallest doc WITH its payload
+    rep = hot.groupBy(*keys).agg(F.min(F.struct("doc", *payload)).alias("_rep"))
+    star = (
+        hot.join(rep, list(keys))
+        .filter(F.col("doc") != F.col("_rep.doc"))
+        .select(
+            F.col("_rep.doc").alias("a"),
+            F.col("doc").alias("b"),
+            *[F.col(f"_rep.{c}").alias(f"{c}_a") for c in payload],
+            *[F.col(c).alias(f"{c}_b") for c in payload],
+        )
+    )
+    return normal_pairs.unionByName(star).distinct()
+
+
+def minhash_banded(sig: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """(doc, band, bucket) banded rows for MinHash LSH."""
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -133,12 +209,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.bucket")
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
-        .distinct()
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 4, max_bucket: int | None = None
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs (a<b).
+    ``max_bucket`` = hot-bucket guard (see ``banded_pair_join``)."""
+    return banded_pair_join(
+        minhash_banded(sig, bands, rows_per_band), ["band", "bucket"], max_bucket
     )
 
 
@@ -177,13 +256,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return fp
 
 
-def simhash_candidates(fp: DataFrame, chunks: int = 4) -> DataFrame:
-    """Raw SimHash banding candidates (a < b): docs sharing any exact chunk.
-    Feed these to a verifier (e.g. jaccard_pairs) — the cross-family LSH plan."""
+def simhash_banded(fp: DataFrame, chunks: int = 4) -> DataFrame:
+    """(doc, simhash, chunk, val) banded rows: the fingerprint split into
+    ``chunks`` exact sub-keys (single-chunk pigeonhole banding)."""
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
-    banded = fp.select(
+    return fp.select(
         "doc",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -195,17 +275,21 @@ def simhash_candidates(fp: DataFrame, chunks: int = 4) -> DataFrame:
                 ]
             )
         ).alias("ck"),
-    ).select("doc", "ck.chunk", "ck.val")
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["chunk", "val"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
-        .distinct()
-    )
+    ).select("doc", "simhash", "ck.chunk", "ck.val")
 
 
-def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+def simhash_candidates(
+    fp: DataFrame, chunks: int = 4, max_bucket: int | None = None
+) -> DataFrame:
+    """Raw SimHash banding candidates (a < b): docs sharing any exact chunk.
+    Feed these to a verifier (e.g. jaccard_pairs) — the cross-family LSH plan.
+    ``max_bucket`` = hot-bucket guard (see ``banded_pair_join``)."""
+    return banded_pair_join(simhash_banded(fp, chunks), ["chunk", "val"], max_bucket)
+
+
+def simhash_pairs(
+    fp: DataFrame, max_hamming: int = 3, chunks: int = 4, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup pairs by Hamming distance via pigeonhole banding.
 
     With ``chunks`` > ``max_hamming`` any pair within distance shares ≥1 exact
@@ -223,72 +307,27 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataF
             f"distance {chunks}..{max_hamming} can differ in all {chunks} "
             f"chunks and would be silently missed"
         )
-    width = SIMHASH_BITS // chunks
-    mask = (1 << width) - 1
-    banded = fp.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.expr(f"(simhash >> {c * width}) & {mask}").alias("val"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc", "simhash", "ck.chunk", "ck.val")
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["chunk", "val"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("a"),
-            F.col("y.doc").alias("b"),
-            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    pairs = banded_pair_join(
+        simhash_banded(fp, chunks), ["chunk", "val"], max_bucket, payload=("simhash",)
     )
+    return pairs.select(
+        "a",
+        "b",
+        F.bit_count(F.expr("simhash_a ^ simhash_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
-def simhash_pairs_wide(
-    fp: DataFrame, max_hamming: int = 8, chunks: int = 10, combo_size: int | None = None
+def simhash_banded_wide(
+    fp: DataFrame, chunks: int = 10, combo_size: int = 2
 ) -> DataFrame:
-    """Wide-radius Hamming pairs via chunk-COMBINATION banding.
-
-    Generalized pigeonhole (the HmSearch/multi-index construction): ≤ r
-    differing bits touch ≤ r chunks, so ≥ chunks − r chunks agree exactly —
-    banding on every C(chunks, q) combination with q ≤ chunks − r keys has
-    recall 1 by construction. Compared to ``simhash_pairs`` (q = 1, radius
-    capped at chunks − 1, key width shrinking as chunks grows), each band
-    key here carries q × width bits of selectivity, so radius 8 over 60
-    bits runs with 10 chunks / q=2 / 45 bands on 12-bit keys instead of
-    drowning in 6-bit single-chunk buckets. Banded-row cost is
-    C(chunks, q) × corpus — a documented space/selectivity trade.
-    """
+    """(doc, simhash, band, val) rows banding every C(chunks, combo_size)
+    chunk COMBINATION (concatenated chunk values as the band key)."""
     from itertools import combinations
 
-    if combo_size is None:
-        combo_size = chunks - max_hamming
-    if combo_size < 1 or combo_size > chunks - max_hamming:
-        raise ValueError(
-            f"combination pigeonhole needs 1 <= combo_size <= chunks - max_hamming "
-            f"(got combo_size={combo_size}, chunks={chunks}, max_hamming={max_hamming}): "
-            f"a pair at distance {max_hamming} may agree on only {chunks - max_hamming} "
-            f"chunks, so larger combos can miss it"
-        )
-    if SIMHASH_BITS % chunks != 0:
-        raise ValueError(
-            f"chunks={chunks} must divide {SIMHASH_BITS} bits — a remainder "
-            f"leaves high bits outside every band (silent recall hole)"
-        )
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     combos = list(combinations(range(chunks), combo_size))
-    banded = fp.select(
+    return fp.select(
         "doc",
         "simhash",
         F.explode(
@@ -308,18 +347,52 @@ def simhash_pairs_wide(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.band", "bk.val")
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "val"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("a"),
-            F.col("y.doc").alias("b"),
-            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
+
+
+def simhash_pairs_wide(
+    fp: DataFrame,
+    max_hamming: int = 8,
+    chunks: int = 10,
+    combo_size: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Wide-radius Hamming pairs via chunk-COMBINATION banding.
+
+    Generalized pigeonhole (the HmSearch/multi-index construction): ≤ r
+    differing bits touch ≤ r chunks, so ≥ chunks − r chunks agree exactly —
+    banding on every C(chunks, q) combination with q ≤ chunks − r keys has
+    recall 1 by construction. Compared to ``simhash_pairs`` (q = 1, radius
+    capped at chunks − 1, key width shrinking as chunks grows), each band
+    key here carries q × width bits of selectivity, so radius 8 over 60
+    bits runs with 10 chunks / q=2 / 45 bands on 12-bit keys instead of
+    drowning in 6-bit single-chunk buckets. Banded-row cost is
+    C(chunks, q) × corpus — a documented space/selectivity trade.
+    """
+    if combo_size is None:
+        combo_size = chunks - max_hamming
+    if combo_size < 1 or combo_size > chunks - max_hamming:
+        raise ValueError(
+            f"combination pigeonhole needs 1 <= combo_size <= chunks - max_hamming "
+            f"(got combo_size={combo_size}, chunks={chunks}, max_hamming={max_hamming}): "
+            f"a pair at distance {max_hamming} may agree on only {chunks - max_hamming} "
+            f"chunks, so larger combos can miss it"
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    if SIMHASH_BITS % chunks != 0:
+        raise ValueError(
+            f"chunks={chunks} must divide {SIMHASH_BITS} bits — a remainder "
+            f"leaves high bits outside every band (silent recall hole)"
+        )
+    pairs = banded_pair_join(
+        simhash_banded_wide(fp, chunks, combo_size),
+        ["band", "val"],
+        max_bucket,
+        payload=("simhash",),
     )
+    return pairs.select(
+        "a",
+        "b",
+        F.bit_count(F.expr("simhash_a ^ simhash_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_bruteforce_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:

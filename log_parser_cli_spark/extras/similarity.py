@@ -113,6 +113,7 @@ def rhp_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes_df: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) by banded random-hyperplane signatures.
 
@@ -158,13 +159,12 @@ def rhp_candidates(
         banded = embeddings.select(
             F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bk")
         ).select("doc", "bk.band", "bk.val")
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "val"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
-        .distinct()
-    )
+    # shared guarded tail (hot-bucket star cap + reporting via
+    # dedup.hot_bucket_stats) — LSH bucket skew is one failure mode across
+    # every banding family, so it gets one implementation
+    from log_parser_cli_spark.extras.dedup import banded_pair_join
+
+    return banded_pair_join(banded, ["band", "val"], max_bucket)
 
 
 def cosine_pairs(

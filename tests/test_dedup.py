@@ -175,3 +175,63 @@ def test_simhash_wide_rejects_unsound_params(docs):
         simhash_pairs_wide(fp, max_hamming=8, chunks=10, combo_size=3)
     with pytest.raises(ValueError, match="divide"):
         simhash_pairs_wide(fp, max_hamming=8, chunks=9)
+
+
+def test_hot_bucket_guard_star_caps_degenerate_corpus(spark):
+    """Round-4 verdict #1: 1.2k identical docs put ~n rows in every band
+    bucket; unguarded, the banded self-join's OUTPUT is C(n,2) ≈ 719k pairs —
+    quadratic, and AQE cannot split a quadratic output. With the guard, each
+    hot bucket emits a spanning star: exactly n-1 pairs, all anchored on the
+    lexicographically smallest doc, hamming 0."""
+    n = 1200
+    df = spark.createDataFrame(
+        [(i, "boilerplate cookie banner repeated on every page") for i in range(n)],
+        "doc_id long, text string",
+    )
+    fp = simhash(df, "doc_id", "text")
+    got = simhash_pairs(fp, max_hamming=3, chunks=4, max_bucket=64).collect()
+    assert len(got) == n - 1  # O(n), not C(n,2)
+    assert all(r.a == 0 and r.hamming == 0 for r in got)
+    assert {r.b for r in got} == set(range(1, n))
+
+
+def test_hot_bucket_guard_reports_capped_buckets(spark):
+    """No silent truncation: hot_bucket_stats names every capped bucket."""
+    from log_parser_cli_spark.extras.dedup import hot_bucket_stats, simhash_banded
+
+    n = 300
+    df = spark.createDataFrame(
+        [(i, "identical text for the hot bucket test") for i in range(n)],
+        "doc_id long, text string",
+    )
+    banded = simhash_banded(simhash(df, "doc_id", "text"), chunks=4)
+    stats = hot_bucket_stats(banded, ["chunk", "val"], max_bucket=64).collect()
+    # every chunk of the shared fingerprint is one hot bucket of n docs
+    assert len(stats) == 4
+    assert all(r.n_docs == n for r in stats)
+
+
+def test_hot_bucket_guard_noop_below_cap(spark, docs):
+    """A cap larger than every bucket must reproduce the unguarded pair set
+    exactly (the oracle-verified shape)."""
+    fp = simhash(docs, "doc_id", "text")
+    unguarded = {(r.a, r.b, r.hamming) for r in simhash_pairs(fp, 3, 4).collect()}
+    guarded = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs(fp, 3, 4, max_bucket=10_000).collect()
+    }
+    assert guarded == unguarded
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """Same guard, MinHash family: identical docs share every band bucket;
+    star caps candidates at n-1."""
+    n = 500
+    df = spark.createDataFrame(
+        [(i, "the very same minhash document body") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, "doc_id", "text", k=2, n_hashes=16)
+    cands = minhash_lsh_candidates(sig, bands=4, rows_per_band=4, max_bucket=32).collect()
+    assert len(cands) == n - 1
+    assert all(r.a == 0 for r in cands)

@@ -156,3 +156,19 @@ def test_rhp_join_path_matches_literal_path(spark, emb):
         ).collect()
     }
     assert lit and joined == lit
+
+
+def test_rhp_hot_bucket_guard(spark):
+    """The RHP candidate generator shares dedup's hot-bucket guard: n copies
+    of one vector land in every band bucket; the star cap emits n-1
+    candidates anchored on the smallest vec_id instead of C(n,2)."""
+    from log_parser_cli_spark.extras.similarity import rhp_candidates
+
+    n = 400
+    base = [float((d * 7 + 3) % 11 - 5) for d in range(16)]
+    df = spark.createDataFrame(
+        [(i, base) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    got = rhp_candidates(df, dim=16, n_planes=24, rows_per_band=3, max_bucket=32).collect()
+    assert len(got) == n - 1
+    assert all(r.a == 0 for r in got)
