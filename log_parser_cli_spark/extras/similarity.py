@@ -226,17 +226,73 @@ def kmeans_centroids(vectors, k: int = 16, iters: int = 20) -> list[list[float]]
     return [[round(float(v), 9) for v in row] for row in cents]
 
 
-def centroids_from_parquet(path: str, k: int = 16, iters: int = 20, sample: int = 4096) -> list[list[float]]:
+def centroids_from_parquet(
+    path: str,
+    k: int = 16,
+    iters: int = 20,
+    sample: int = 4096,
+    _io_stats: dict | None = None,
+) -> list[list[float]]:
     """Shared centroid source for the Spark query AND the DuckDB oracle:
-    read the embeddings parquet (vec_id order), k-means the first ``sample``
-    vectors. Deterministic — both sides inline identical literals."""
+    k-means the ``sample`` smallest-vec_id vectors. Deterministic — both
+    sides inline identical literals.
+
+    Driver memory is BOUNDED: row groups stream through a max-heap that
+    keeps only the ``sample`` smallest vec_ids (never the full column — at
+    the design scale, 10^9+ vectors × 768+ dims, a full read is a driver
+    OOM in the index-build path). Row groups whose min(vec_id) statistic
+    cannot beat the current sample's largest kept id are skipped entirely,
+    so on id-sorted files only the first group(s) are ever decoded; files
+    without stats or with shuffled ids still produce the identical result,
+    just reading more groups. Bit-identical to a full read + sort + take:
+    the kept set is exactly the ``sample`` smallest ids, ascending.
+
+    ``_io_stats`` (tests): filled with row_groups_read / num_row_groups.
+    """
+    import heapq
+
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    rows = sorted(
-        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()), key=lambda r: r[0]
-    )[:sample]
-    return kmeans_centroids([r[1] for r in rows], k=k, iters=iters)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    vec_leaf = None
+    if md.num_row_groups:
+        for j in range(md.row_group(0).num_columns):
+            if md.row_group(0).column(j).path_in_schema == "vec_id":
+                vec_leaf = j
+                break
+
+    def group_min(g: int):
+        if vec_leaf is None:
+            return None
+        st = md.row_group(g).column(vec_leaf).statistics
+        return st.min if st is not None and st.has_min_max else None
+
+    heap: list[tuple] = []  # max-heap via negated ids: the `sample` smallest
+    groups_read = 0
+
+    def consume(g: int) -> None:
+        nonlocal groups_read
+        groups_read += 1
+        tbl = pf.read_row_group(g, columns=["vec_id", "embedding"])
+        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()):
+            if len(heap) < sample:
+                heapq.heappush(heap, (-vid, emb))
+            elif vid < -heap[0][0]:
+                heapq.heapreplace(heap, (-vid, emb))
+
+    mins = {g: group_min(g) for g in range(md.num_row_groups)}
+    for g in (g for g in mins if mins[g] is None):
+        consume(g)  # no stats → cannot prune, must read
+    for g in sorted((g for g in mins if mins[g] is not None), key=lambda g: mins[g]):
+        if len(heap) >= sample and mins[g] > -heap[0][0]:
+            break  # ascending mins: no later group can hold a smaller id
+        consume(g)
+    if _io_stats is not None:
+        _io_stats["row_groups_read"] = groups_read
+        _io_stats["num_row_groups"] = md.num_row_groups
+    rows = sorted(heap, key=lambda t: -t[0])
+    return kmeans_centroids([emb for _, emb in rows], k=k, iters=iters)
 
 
 def _sims_expr(vec_col: str, centroids: list[list[float]], round_to: int = 6) -> str:

@@ -172,3 +172,47 @@ def test_rhp_hot_bucket_guard(spark):
     got = rhp_candidates(df, dim=16, n_planes=24, rows_per_band=3, max_bucket=32).collect()
     assert len(got) == n - 1
     assert all(r.a == 0 for r in got)
+
+
+def test_centroid_training_reads_only_needed_row_groups(tmp_path):
+    """Round-4 verdict #2: the IVF index-BUILD path must not materialize the
+    whole embeddings column in the driver. On an id-sorted multi-row-group
+    file, row-group min(vec_id) statistics prune everything past the sample;
+    a shuffled layout still yields bit-identical centroids (just reads more
+    groups). Reference result = the old full-read + sort + take."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_parser_cli_spark.extras.similarity import centroids_from_parquet, kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    n, dim, sample = 1000, 8, 100
+    embs = [[float(x) for x in rng.normal(size=dim)] for _ in range(n)]
+
+    def write(path, order):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([order[i] for i in range(n)], pa.int64()),
+                "embedding": pa.array([embs[order[i]] for i in range(n)], pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(tbl, path, row_group_size=200)  # 5 row groups
+
+    sorted_path = str(tmp_path / "sorted.parquet")
+    write(sorted_path, list(range(n)))
+    expected = kmeans_centroids(embs[:sample], k=4, iters=5)
+
+    stats = {}
+    got = centroids_from_parquet(sorted_path, k=4, iters=5, sample=sample, _io_stats=stats)
+    assert got == expected
+    assert stats["num_row_groups"] == 5
+    assert stats["row_groups_read"] == 1  # sample=100 fits in the first group
+
+    # shuffled file order: same centroids, more groups read (no pruning lies)
+    shuffled_path = str(tmp_path / "shuffled.parquet")
+    perm = list(rng.permutation(n))
+    write(shuffled_path, perm)
+    stats2 = {}
+    got2 = centroids_from_parquet(shuffled_path, k=4, iters=5, sample=sample, _io_stats=stats2)
+    assert got2 == expected
+    assert stats2["row_groups_read"] >= 1
