@@ -37,8 +37,48 @@ ASSET_SCHEMA = T.StructType(
 FEATURE_FIELDS = [
     T.StructField("n_bytes", T.LongType()),
     T.StructField("phash", T.StringType()),
+    T.StructField("phash64", T.LongType()),
     T.StructField("decoded", T.BooleanType()),
 ]
+
+
+def average_hash(width: int, height: int, channels: int, pixels: bytes, grid: int = 8) -> int:
+    """True 64-bit PERCEPTUAL hash of decoded 8-bit pixels (average-hash):
+    integer-luma grayscale → ``grid``×``grid`` block means → bit set where a
+    block is ≥ the mean of block means. Pure stdlib, deterministic. Unlike
+    the exact content hash, a one-pixel edit or a small brightness ripple
+    moves only the few blocks it touches — near-identical images land within
+    a small Hamming distance, so the hash feeds pigeonhole banding
+    (``image_near_dup_pairs``) exactly like a text SimHash. Returned as a
+    signed 64-bit value (two's-complement wrap) so it stores in a LongType
+    column."""
+    stride = width * channels
+    means = []
+    for gy in range(grid):
+        y0 = gy * height // grid
+        y1 = max(y0 + 1, (gy + 1) * height // grid)
+        for gx in range(grid):
+            x0 = gx * width // grid
+            x1 = max(x0 + 1, (gx + 1) * width // grid)
+            total = 0
+            count = 0
+            for y in range(min(y0, height - 1), min(y1, height)):
+                row = y * stride
+                for x in range(min(x0, width - 1), min(x1, width)):
+                    p = row + x * channels
+                    if channels >= 3:
+                        lum = (299 * pixels[p] + 587 * pixels[p + 1] + 114 * pixels[p + 2]) // 1000
+                    else:
+                        lum = pixels[p]  # gray / gray+alpha: first byte is luma
+                    total += lum
+                    count += 1
+            means.append(total / count)
+    overall = sum(means) / len(means)
+    h = 0
+    for i, m in enumerate(means):
+        if m >= overall:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -51,13 +91,14 @@ def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def _decode_payload(payload: bytes) -> bytes:
-    """Decode a payload to its raw decoded content bytes.
+def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
+    """Decode a payload once → (content bytes for the EXACT hash, perceptual
+    ``average_hash`` for images or None).
 
     PNG (``extras/png.py``: zlib inflate + scanline unfilter) and PCM WAV
     (``extras/wav.py``: RIFF parse) decode for real with stdlib only;
     JPEG/compressed-audio/video kernels genuinely need external codec
-    libraries not present in this container and stay stubbed. The returned
+    libraries not present in this container and stay stubbed. The content
     bytes are prefixed with the decoded geometry (dims / channel+rate+bits):
     two payloads whose raw streams coincide under different shapes must not
     collide when the decoded content is hashed.
@@ -70,10 +111,10 @@ def _decode_payload(payload: bytes) -> bytes:
     data = bytes(payload)
     if data[:8] == PNG_SIGNATURE:
         w, h, c, pixels = decode_png(data)
-        return struct.pack(">IIB", w, h, c) + pixels
+        return struct.pack(">IIB", w, h, c) + pixels, average_hash(w, h, c, pixels)
     if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_MAGIC:
         n_ch, rate, bits, frames = decode_wav(data)
-        return struct.pack(">HIH", n_ch, rate, bits) + frames
+        return struct.pack(">HIH", n_ch, rate, bits) + frames, None
     raise NotImplementedError(
         "only PNG and PCM WAV decode in-container (stdlib); "
         "JPEG/compressed-audio/video need codec libraries"
@@ -93,8 +134,13 @@ def extract_features(
     content — so two encodings of the same image (different filters /
     compression levels) or two WAV containers of the same samples (extra
     RIFF chunks) collapse to one hash, which raw-byte hashing cannot do.
-    Other payloads still raise ``NotImplementedError`` (JPEG/compressed-
-    audio/video codecs are not in this container).
+    Images additionally get ``phash64``, a true PERCEPTUAL average-hash over
+    the decoded pixels (see ``average_hash``): near-identical images — a
+    pixel edit, a mild brightness shift — land within a small Hamming
+    distance, feeding ``image_near_dup_pairs`` banding; the exact ``phash``
+    stays alongside for byte-level identity. Other payloads still raise
+    ``NotImplementedError`` (JPEG/compressed-audio/video codecs are not in
+    this container).
     """
     out_schema = T.StructType(
         [f for f in assets.schema.fields if f.name != "payload"] + FEATURE_FIELDS
@@ -111,16 +157,70 @@ def extract_features(
                 out["phash"] = payloads.map(
                     lambda b: hashlib.md5(bytes(b)).hexdigest()[:16] if b is not None else None
                 )
+                out["phash64"] = None
             else:
-                out["phash"] = payloads.map(
-                    lambda b: hashlib.md5(_decode_payload(b)).hexdigest()[:16]
-                    if b is not None
-                    else None
+                decoded = payloads.map(
+                    lambda b: _decode_payload(b) if b is not None else (None, None)
                 )
+                out["phash"] = decoded.map(
+                    lambda t: hashlib.md5(t[0]).hexdigest()[:16] if t[0] is not None else None
+                )
+                out["phash64"] = decoded.map(lambda t: t[1])
             out["decoded"] = payloads.notna()
             yield out
 
     return assets.mapInPandas(run, schema=out_schema)
+
+
+def image_near_dup_pairs(
+    features: DataFrame,
+    max_hamming: int = 6,
+    chunks: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs (asset a < b, hamming) over ``phash64`` —
+    the perceptual twin of ``dedup.simhash_pairs``: the 64-bit hash splits
+    into ``chunks`` exact sub-keys (8×8 bits by default) and a pair within
+    Hamming ≤ ``max_hamming`` must share ≥1 chunk (pigeonhole, enforced), so
+    candidates come from banded equi-joins with the same hot-bucket guard —
+    never an all-pairs join over the corpus. ``>>`` is arithmetic on the
+    signed hash, but the chunk mask keeps only the shifted byte, so negative
+    (bit-63-set) hashes band correctly."""
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole banding needs chunks > max_hamming "
+            f"(got chunks={chunks}, max_hamming={max_hamming})"
+        )
+    if 64 % chunks != 0:
+        raise ValueError(f"chunks={chunks} must divide 64 bits")
+    from log_parser_cli_spark.extras.dedup import banded_pair_join
+
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    fp = features.filter(F.col("phash64").isNotNull()).select(
+        F.col("asset_id").alias("doc"), F.col("phash64").alias("ph")
+    )
+    banded = fp.select(
+        "doc",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.expr(f"(ph >> {c * width}) & {mask}").alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "ph", "ck.chunk", "ck.val")
+    pairs = banded_pair_join(banded, ["chunk", "val"], max_bucket, payload=("ph",))
+    return pairs.select(
+        F.col("a").alias("asset_a"),
+        F.col("b").alias("asset_b"),
+        F.bit_count(F.expr("ph_a ^ ph_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def payload_embeddings(

@@ -190,3 +190,79 @@ def test_real_wav_decode_hashes_frames_not_bytes(spark):
     ).hexdigest()[:16]
     assert feats["wav-0"].phash == expect
     assert feats["wav-1"].phash == expect
+
+
+def _gradient_pixels(w, h):
+    """Smooth 2-D gradient — a deterministic 'photo-like' grayscale image."""
+    return bytes(((3 * x + 5 * y) * 255 // (3 * (w - 1) + 5 * (h - 1))) & 0xFF
+                 for y in range(h) for x in range(w))
+
+
+def test_phash64_is_perceptual_not_exact(spark):
+    """Round-4 verdict #4: the 64-bit average-hash must cluster (a) a
+    re-encoding of the same pixels at Hamming 0 and (b) a slightly-perturbed
+    image within a small radius, while a genuinely different image stays far
+    — exactly what the old md5-of-decoded-bytes phash could not do."""
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA, image_near_dup_pairs
+    from log_parser_cli_spark.extras.png import encode_png
+
+    w, h = 32, 32
+    base = bytearray(_gradient_pixels(w, h))
+    # (b) small perturbation: nudge a handful of pixels by +4 brightness
+    pert = bytearray(base)
+    for i in range(0, 40, 4):
+        pert[i * 13 % len(pert)] = min(255, pert[i * 13 % len(pert)] + 4)
+    # (c) genuinely different content: inverted checkerboard-ish texture
+    other = bytes((255 - base[i]) if ((i // w) + i) % 2 else base[i] for i in range(len(base)))
+
+    assets = spark.createDataFrame(
+        [
+            ("img-base", bytearray(encode_png(w, h, 1, bytes(base), filter_type=0)), "image/png", w, h, 0),
+            ("img-reenc", bytearray(encode_png(w, h, 1, bytes(base), filter_type=4)), "image/png", w, h, 0),
+            ("img-pert", bytearray(encode_png(w, h, 1, bytes(pert), filter_type=2)), "image/png", w, h, 0),
+            ("img-other", bytearray(encode_png(w, h, 1, other, filter_type=0)), "image/png", w, h, 0),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = extract_features(spark, assets, fake_decode=False)
+    by_id = {r.asset_id: r for r in feats.collect()}
+
+    def hamming(a, b):
+        return bin((by_id[a].phash64 ^ by_id[b].phash64) & ((1 << 64) - 1)).count("1")
+
+    assert by_id["img-reenc"].phash64 == by_id["img-base"].phash64  # re-encode: 0
+    assert 0 < hamming("img-base", "img-pert") <= 6  # near-dup within radius
+    assert hamming("img-base", "img-other") > 6  # distinct stays out
+    assert hamming("img-pert", "img-other") > 6
+
+    # the banded generator clusters exactly the near-dups
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in image_near_dup_pairs(feats, max_hamming=6).collect()
+    }
+    assert ("img-base", "img-pert") in pairs
+    assert ("img-base", "img-reenc") in pairs
+    assert not any("img-other" in p for p in pairs)
+
+
+def test_phash64_survives_brightness_shift(spark):
+    """A global +8 brightness shift changes EVERY byte (exact hash moves) but
+    barely moves block means relative to their mean — phash64 stays within a
+    tiny radius. The mean-relative construction is what buys this."""
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA
+    from log_parser_cli_spark.extras.png import encode_png
+
+    w, h = 24, 24
+    base = _gradient_pixels(w, h)
+    bright = bytes(min(255, b + 8) for b in base)
+    assets = spark.createDataFrame(
+        [
+            ("a", bytearray(encode_png(w, h, 1, base)), "image/png", w, h, 0),
+            ("b", bytearray(encode_png(w, h, 1, bright)), "image/png", w, h, 0),
+        ],
+        ASSET_SCHEMA,
+    )
+    by_id = {r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()}
+    assert by_id["a"].phash != by_id["b"].phash  # exact hash: every byte moved
+    d = bin((by_id["a"].phash64 ^ by_id["b"].phash64) & ((1 << 64) - 1)).count("1")
+    assert d <= 4  # perceptual hash: barely moved
