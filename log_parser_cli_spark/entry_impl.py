@@ -854,6 +854,92 @@ def q_orders_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing stage (§3.1a; reference routing-agent.ts:34-80 minus the LLM):
+    strip every row's source, re-infer it by head-pattern first-match vote in
+    sorted source order, count rows per inferred source. The oracle twin
+    replays the same decision as a regexp CASE over the ground truth's
+    rendered lines — DuckDB's regexps are RE2, the same engine the matcher
+    uses, so the vote is bit-reproducible."""
+    from log_parser_cli_spark.operators.parse import infer_sources
+    from log_parser_cli_spark.plans.pipeline import load_dims
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    vocab_rows, source_heads, _ = load_dims(spark, fx)
+    seq = spark.read.parquet(os.path.join(fx, "sequences.parquet")).withColumn(
+        "source", F.lit(None).cast("string")
+    )
+    inferred = infer_sources(spark, seq, vocab_rows, source_heads)
+    return inferred.groupBy("source").agg(F.count("*").cast("long").alias("n_rows"))
+
+
+def q_compression_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (reference check-overbroad.js:70-132): per-template gzip
+    compression-gain stats over the routed fan-out output (content and vars
+    reconstructed from the routed rows, no re-parse). Oracle = pure-Python
+    twin over the ground truth — same zlib, same doc_id-ordered 200-row cap —
+    inlined as literal rows (the head_derive trick)."""
+    from log_parser_cli_spark.extras.overbroad import (
+        compression_gain_stats,
+        routed_for_overbroad,
+    )
+    from log_parser_cli_spark.plans.pipeline import read_routed
+
+    out, _ = pipeline_out_for(spark, sf_dir)
+    # discovered template ids have their own numbering — only the
+    # (source, template_star) pair is the stable contract vs ground truth
+    # (the perfect-clustering gate), so key the stats on the composite
+    enriched = routed_for_overbroad(read_routed(spark, out)).withColumn(
+        "template_id", F.concat_ws("||", "source", "template_star")
+    )
+    return compression_gain_stats(enriched)
+
+
+def q_stream_batch_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3 batch-equivalence promoted from pytest to the driver gate: the
+    Structured Streaming replay's snapshot-committed routed table must equal
+    the batch route output row-for-row — same doc_ids, byte-exact token
+    arrays, same template_star. The streamed run checkpoints under the runs
+    cache, so a repeat is an availableNow no-op. Oracle: the ground truth's
+    row count with zero mismatches (any divergence inflates the full-outer
+    row count or a mismatch sum)."""
+    from log_parser_cli_spark.datagen import GEN_VERSION
+    from log_parser_cli_spark.plans.pipeline import read_routed
+    from log_parser_cli_spark.streaming.stream import stream_replay
+
+    out, fx = pipeline_out_for(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    stream_out = os.path.join(
+        _runs_base(), f"{sf_name}-stream-v{ENGINE_VERSION}.{GEN_VERSION}"
+    )
+    mapping = spark.read.parquet(os.path.join(out, "template_mapping"))
+    q = stream_replay(spark, fx, stream_out, mapping, available_now=True)
+    q.awaitTermination(600)
+    streamed = read_routed(spark, stream_out).select(
+        "doc_id", F.col("tokens").alias("s_tokens"), F.col("template_star").alias("s_star")
+    )
+    batch = read_routed(spark, out).select(
+        "doc_id", F.col("tokens").alias("b_tokens"), F.col("template_star").alias("b_star")
+    )
+    j = streamed.join(batch, "doc_id", "full")
+    return j.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("s_tokens").isNull()
+                | F.col("b_tokens").isNull()
+                | (F.col("s_tokens") != F.col("b_tokens")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_token_mismatch"),
+        F.sum(F.when(~F.col("s_star").eqNullSafe(F.col("b_star")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_star_mismatch"),
+    )
+
+
 QUERIES = {
     "pipeline_sink_counts": q_pipeline_sink_counts,
     "pipeline_route_equality": q_pipeline_route_equality,
@@ -895,6 +981,9 @@ QUERIES = {
     "events_parse": q_events_parse,
     "events_sessionize": q_events_sessionize,
     "orders_enrich": q_orders_enrich,
+    "source_routing": q_source_routing,
+    "compression_gain": q_compression_gain,
+    "stream_batch_equality": q_stream_batch_equality,
 }
 
 
@@ -1380,6 +1469,65 @@ SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs FROM guessed GROUP BY 1
 """
 
 
+def _source_routing_sql(gt: str, sources_path: str) -> str:
+    """Replay infer_sources' first-match-in-sorted-source-order vote as a
+    regexp CASE over the ground truth's rendered lines."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sources_path, columns=["source", "head_pattern"])
+    heads = sorted(zip(t["source"].to_pylist(), t["head_pattern"].to_pylist()))
+    cases = " ".join(
+        f"WHEN regexp_matches(rendered, '{pat.replace(chr(39), chr(39) * 2)}') THEN '{src}'"
+        for src, pat in heads
+    )
+    return f"""
+        SELECT CASE {cases} ELSE '__UNKNOWN__' END AS source,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM '{gt}' GROUP BY 1
+    """
+
+
+def _compression_gain_twin_sql(gt: str, threshold: float = 0.2, cap: int = 200) -> str:
+    """Pure-Python twin of extras.overbroad.compression_gain_stats over the
+    ground truth (same zlib level, same doc_id-ordered cap, same rounding),
+    inlined as literal rows — gzip byte counts are not SQL-expressible, so
+    the twin IS the oracle (the head_derive pattern)."""
+    import zlib
+    from itertools import groupby
+
+    import duckdb
+
+    con = duckdb.connect()
+    # key = source || '||' || event_template: discovered ids carry their own
+    # numbering, the (source, star) pair is the stable cross-side contract
+    rows = con.execute(
+        f"SELECT source || '||' || event_template AS tid, doc_id, content, "
+        f"event_template, word_var_concat "
+        f"FROM '{gt}' WHERE head_matched ORDER BY tid, doc_id"
+    ).fetchall()
+    con.close()
+    selects = []
+    for tid, grp in groupby(rows, key=lambda r: r[0]):
+        g = list(grp)[:cap]
+        raws = "\n".join(r[2] or "" for r in g)
+        template = g[0][3] or ""
+        var_text = "\n".join(r[4] or "" for r in g)
+        raw_b = len(zlib.compress(raws.encode("utf-8")))
+        tpl_b = len(zlib.compress(template.encode("utf-8")))
+        var_b = len(zlib.compress(var_text.encode("utf-8")))
+        gain = round(1.0 - (tpl_b + var_b) / raw_b if raw_b else 0.0, 4)
+        selects.append(
+            f"SELECT '{tid.replace(chr(39), chr(39) * 2)}' AS template_id, "
+            f"CAST({len(g)} AS BIGINT) AS n_rows, "
+            f"CAST({raw_b} AS BIGINT) AS raw_gzip_bytes, "
+            f"CAST({tpl_b} AS BIGINT) AS template_gzip_bytes, "
+            f"CAST({var_b} AS BIGINT) AS vars_gzip_bytes, "
+            f"CAST({gain!r} AS DOUBLE) AS compression_gain, "
+            f"{'TRUE' if gain < threshold else 'FALSE'} AS overbroad"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def build_oracle_sql() -> dict[str, str]:
     gt = _fx("ground_truth")
     labels = _fx("labels")
@@ -1521,6 +1669,14 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
                    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
             FROM g
+        """,
+        "source_routing": _source_routing_sql(gt, _fx("sources")),
+        "compression_gain": _compression_gain_twin_sql(gt),
+        "stream_batch_equality": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_token_mismatch,
+                   CAST(0 AS BIGINT) AS n_star_mismatch
+            FROM '{gt}'
         """,
         "dedup_jaccard_docs": _simhash_cands_jaccard_sql(0.3),
         "dedup_minhash_docs": _minhash_sql(0.3),

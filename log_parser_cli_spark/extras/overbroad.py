@@ -63,6 +63,10 @@ def compression_gain_stats(
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the window capped to the doc_id-smallest rows but group rows arrive
+        # in partition order — sort so the gzip concatenation (and therefore
+        # the byte counts) is deterministic and oracle-reproducible
+        pdf = pdf.sort_values("doc_id")
         tid = pdf["template_id"].iloc[0]
         raws = "\n".join(pdf[raw_col].fillna(""))
         template = str(pdf[template_col].iloc[0] or "")
@@ -103,7 +107,12 @@ def routed_for_overbroad(routed: DataFrame) -> DataFrame:
     matched = routed.filter(~F.col("template_id").startswith("__"))
     return matched.withColumn(
         "word_vars",
-        F.expr("transform(sequence(1, n_vars), i -> variables[concat('v', i)])"),
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark — a zero-var template
+        # must get an EMPTY array, not [null, null]
+        F.expr(
+            "CASE WHEN n_vars <= 0 THEN CAST(array() AS array<string>) "
+            "ELSE transform(sequence(1, n_vars), i -> variables[concat('v', i)]) END"
+        ),
     ).withColumn(
         "content",
         F.expr(
