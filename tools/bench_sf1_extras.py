@@ -168,10 +168,10 @@ def main() -> int:
         f"{stats['row_groups_read']}/{stats['num_row_groups']} read) | {train_wall}s |\n"
         f"| ann_ivf_join query (broadcast carrier, one corpus scan) | {query_wall}s, "
         f"{n_topk} rows |\n\n"
-        f"Cross-shard duplicate groups make every LSH bucket {SHARDS}x hotter: the\n"
-        f"unguarded pair count grows ~{SHARDS}^2/2-fold over sf0.1's 47,123 while the\n"
-        f"guarded run stays near-linear — the hot-bucket star cap is what makes the\n"
-        f"wide-radius family safe on boilerplate-heavy corpora at 100 TB.\n"
+        f"Near-dup pair OUTPUT is quadratic in duplicate-group size, so the\n"
+        f"unguarded wall blows up while the guarded star cap stays linear —\n"
+        f"the hot-bucket guard is what makes the wide-radius family safe on\n"
+        f"boilerplate-heavy corpora at 100 TB.\n"
     )
     with open(md_path, "a") as f:
         f.write(section)
