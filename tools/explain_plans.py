@@ -126,6 +126,18 @@ def main() -> int:
         )
     )
 
+    # guarded path: window bucket-count on the SAME keys as the pair join,
+    # normal pairs + star pairs unioned — still equi-joins only, no cartesian
+    sh_capped = simhash_pairs(simhash(docs, "doc_id", "text"), max_bucket=64)
+    sections.append(
+        (
+            "simhash with hot-bucket guard (window count → normal equi-join ∪ star, cap 64)",
+            plan_of(sh_capped),
+            ["Window", "HashJoin", "Union"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     topk = cosine_topk(emb, [0, 1, 2], k=5)
     sections.append(
