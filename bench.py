@@ -194,7 +194,7 @@ def main() -> int:
     for name in (
         "match_regex_counts", "eval_metrics", "dedup_minhash_docs", "ann_topk",
         "doc_quality", "head_derive", "eval_from_reports", "embedding_dedup", "ann_ivf",
-        "ann_ivf_join", "dedup_simhash_wide",
+        "ann_ivf_join", "dedup_simhash_wide", "dedup_simhash_capped", "compression_gain",
     ):
         t0 = time.time()
         EI.QUERIES[name](spark, SF_DIR).collect()
