@@ -124,6 +124,7 @@ def banded_pair_join(
     keys: list[str],
     max_bucket: int | None = None,
     payload: tuple[str, ...] = (),
+    first_band_filter: str | None = None,
 ) -> DataFrame:
     """Self-join banded rows on bucket ``keys`` → distinct candidate pairs
     (a < b), carrying each ``payload`` column for both sides as <c>_a / <c>_b.
@@ -141,7 +142,27 @@ def banded_pair_join(
     semantics stay EXACT for every bucket ≤ max_bucket; capped buckets are
     reported by ``hot_bucket_stats`` over the same banded rows — no silent
     truncation. With the default None the guard is off (the oracle-verified
-    exact shape; recall gates run here)."""
+    exact shape; recall gates run here).
+
+    ``first_band_filter`` replaces the pair-dedup DISTINCT with a predicate
+    (SQL over the ``x``/``y`` aliases and the key columns) that is true for
+    exactly ONE of a pair's colliding bands — the classic LSH trick when
+    band membership is a pure function of the carried payload (SimHash:
+    band j collides iff the XOR's chunks for combo j are all zero, so
+    "band = first matching band" needs no data beyond the two
+    fingerprints). The DISTINCT is the dominant cost of the unguarded
+    plan — it shuffles every (pair × colliding-band) row, two orders of
+    magnitude more rows than the final pair set — while the filter is
+    evaluated inside the join's codegen stage and nothing wide ever
+    shuffles. Only valid WITHOUT the guard: under a cap, a pair's earliest
+    matching band may sit in a capped bucket, so the row that the filter
+    would keep might not exist (raises to prevent silent pair loss)."""
+    if first_band_filter is not None and max_bucket is not None:
+        raise ValueError(
+            "first_band_filter cannot combine with max_bucket: a pair's first "
+            "matching band may live in a capped bucket, silently dropping it"
+        )
+
     def pair_select():
         return [
             F.col("x.doc").alias("a"),
@@ -151,13 +172,14 @@ def banded_pair_join(
         ]
 
     if max_bucket is None:
-        return (
+        joined = (
             banded.alias("x")
             .join(banded.alias("y"), list(keys))
             .filter(F.col("x.doc") < F.col("y.doc"))
-            .select(*pair_select())
-            .distinct()
         )
+        if first_band_filter is not None:
+            return joined.filter(F.expr(first_band_filter)).select(*pair_select())
+        return joined.select(*pair_select()).distinct()
     # one extra shuffle on the SAME bucket keys (AQE reuses the exchange);
     # per-partition state is O(bucket size) rows, never O(bucket²)
     w = Window.partitionBy(*keys)
@@ -307,8 +329,21 @@ def simhash_pairs(
             f"distance {chunks}..{max_hamming} can differ in all {chunks} "
             f"chunks and would be silently missed"
         )
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    # dedup-free unguarded plan: keep a pair only in its FIRST matching
+    # chunk — chunk c matches iff the XOR's c-th chunk is zero, a pure
+    # function of the two fingerprints (see banded_pair_join)
+    first = " ".join(
+        f"WHEN (((x.simhash ^ y.simhash) >> {c * width}) & {mask}) = 0 THEN {c}"
+        for c in range(chunks)
+    )
     pairs = banded_pair_join(
-        simhash_banded(fp, chunks), ["chunk", "val"], max_bucket, payload=("simhash",)
+        simhash_banded(fp, chunks),
+        ["chunk", "val"],
+        max_bucket,
+        payload=("simhash",),
+        first_band_filter=None if max_bucket is not None else f"chunk = (CASE {first} END)",
     )
     return pairs.select(
         "a",
@@ -382,11 +417,27 @@ def simhash_pairs_wide(
             f"chunks={chunks} must divide {SIMHASH_BITS} bits — a remainder "
             f"leaves high bits outside every band (silent recall hole)"
         )
+    from itertools import combinations
+
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    # dedup-free unguarded plan: band i (a chunk COMBINATION) matches iff the
+    # XOR's chunks are zero for every member of combo i; keep the pair only
+    # in its first matching combination (see banded_pair_join)
+    first = " ".join(
+        "WHEN ("
+        + " AND ".join(
+            f"(((x.simhash ^ y.simhash) >> {c * width}) & {mask}) = 0" for c in combo
+        )
+        + f") THEN {i}"
+        for i, combo in enumerate(combinations(range(chunks), combo_size))
+    )
     pairs = banded_pair_join(
         simhash_banded_wide(fp, chunks, combo_size),
         ["band", "val"],
         max_bucket,
         payload=("simhash",),
+        first_band_filter=None if max_bucket is not None else f"band = (CASE {first} END)",
     )
     return pairs.select(
         "a",
