@@ -2,9 +2,11 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct; heavy decode/feature steps are Arrow-batched ``mapInPandas``
-stages. The decode kernels themselves are STUBBED (no image/audio libraries in
-this container — they raise ``NotImplementedError`` unless the deterministic
-fake mode is on), but everything Spark-side is real and tested: schema,
+stages. PNG, baseline JPEG, and PCM WAV decode for REAL with stdlib-only
+codecs (``extras/png.py`` / ``extras/jpeg.py`` / ``extras/wav.py``);
+compressed audio and video genuinely need codec libraries absent from this
+container and raise ``NotImplementedError`` unless the deterministic fake
+mode is on. Everything Spark-side is real and tested either way: schema,
 partition-preserving batch iteration, UDF signatures, batch shapes.
 
 At 100 TB the shape matters: payloads stay in executor memory one Arrow batch
@@ -95,16 +97,19 @@ def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
     """Decode a payload once → (content bytes for the EXACT hash, perceptual
     ``average_hash`` for images or None).
 
-    PNG (``extras/png.py``: zlib inflate + scanline unfilter) and PCM WAV
-    (``extras/wav.py``: RIFF parse) decode for real with stdlib only;
-    JPEG/compressed-audio/video kernels genuinely need external codec
-    libraries not present in this container and stay stubbed. The content
+    PNG (``extras/png.py``: zlib inflate + scanline unfilter), baseline
+    JPEG (``extras/jpeg.py``: Huffman + IDCT + chroma upsample, pure
+    stdlib), and PCM WAV (``extras/wav.py``: RIFF parse) decode for real
+    with stdlib only; compressed-audio/video kernels genuinely need
+    external codec libraries not present in this container and stay
+    stubbed. The content
     bytes are prefixed with the decoded geometry (dims / channel+rate+bits):
     two payloads whose raw streams coincide under different shapes must not
     collide when the decoded content is hashed.
     """
     import struct
 
+    from log_parser_cli_spark.extras.jpeg import SOI, decode_jpeg
     from log_parser_cli_spark.extras.png import PNG_SIGNATURE, decode_png
     from log_parser_cli_spark.extras.wav import RIFF_MAGIC, WAVE_MAGIC, decode_wav
 
@@ -112,12 +117,15 @@ def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
     if data[:8] == PNG_SIGNATURE:
         w, h, c, pixels = decode_png(data)
         return struct.pack(">IIB", w, h, c) + pixels, average_hash(w, h, c, pixels)
+    if data[:2] == SOI and data[2:3] == b"\xff":
+        w, h, c, pixels = decode_jpeg(data)
+        return struct.pack(">IIB", w, h, c) + pixels, average_hash(w, h, c, pixels)
     if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_MAGIC:
         n_ch, rate, bits, frames = decode_wav(data)
         return struct.pack(">HIH", n_ch, rate, bits) + frames, None
     raise NotImplementedError(
-        "only PNG and PCM WAV decode in-container (stdlib); "
-        "JPEG/compressed-audio/video need codec libraries"
+        "only PNG, baseline JPEG, and PCM WAV decode in-container (stdlib); "
+        "compressed audio and video need codec libraries"
     )
 
 
@@ -138,9 +146,9 @@ def extract_features(
     the decoded pixels (see ``average_hash``): near-identical images — a
     pixel edit, a mild brightness shift — land within a small Hamming
     distance, feeding ``image_near_dup_pairs`` banding; the exact ``phash``
-    stays alongside for byte-level identity. Other payloads still raise
-    ``NotImplementedError`` (JPEG/compressed-audio/video codecs are not in
-    this container).
+    stays alongside for byte-level identity. Compressed-audio/video payloads
+    still raise ``NotImplementedError`` (those codecs are not in this
+    container).
     """
     out_schema = T.StructType(
         [f for f in assets.schema.fields if f.name != "payload"] + FEATURE_FIELDS

@@ -54,10 +54,11 @@ def test_payload_embeddings_feed_similarity_ops(spark):
     assert expect <= found
 
 
-def test_non_png_decode_is_stubbed(spark):
-    """JPEG/audio/video kernels still need external codecs: non-PNG payloads
-    under fake_decode=False raise instead of returning garbage."""
-    assets = make_fake_assets(spark, n=4)  # md5-noise payloads, no PNG signature
+def test_unknown_payload_decode_is_stubbed(spark):
+    """Compressed-audio/video kernels still need external codecs: payloads
+    with no PNG/JPEG/WAV signature under fake_decode=False raise instead of
+    returning garbage."""
+    assets = make_fake_assets(spark, n=4)  # md5-noise payloads, no known magic
     with pytest.raises(Exception, match="NotImplementedError|PNG"):
         extract_features(spark, assets, fake_decode=False).collect()
 
@@ -266,3 +267,107 @@ def test_phash64_survives_brightness_shift(spark):
     assert by_id["a"].phash != by_id["b"].phash  # exact hash: every byte moved
     d = bin((by_id["a"].phash64 ^ by_id["b"].phash64) & ((1 << 64) - 1)).count("1")
     assert d <= 4  # perceptual hash: barely moved
+
+
+def test_jpeg_codec_roundtrip_and_rejections():
+    """The stdlib baseline JPEG codec: flat images round-trip exactly
+    (DC-only blocks), smooth content stays within small error at q95 for
+    gray / RGB 4:4:4 / RGB 4:2:0 (the chroma-upsample decode path), and
+    non-baseline streams are rejected, never garbage."""
+    import struct
+
+    from log_parser_cli_spark.extras.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 20, 14
+    flat = bytes([128] * (w * h))
+    assert decode_jpeg(encode_jpeg(w, h, 1, flat))[3] == flat  # exact
+
+    grad = bytes(((3 * x + 5 * y) * 255 // (3 * (w - 1) + 5 * (h - 1))) & 0xFF
+                 for y in range(h) for x in range(w))
+    got = decode_jpeg(encode_jpeg(w, h, 1, grad, quality=95))
+    assert got[:3] == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(got[3], grad)) <= 3
+
+    rgb = bytes(
+        [min(255, 40 + 6 * x + 2 * y), min(255, 30 + 3 * x + 5 * y),
+         min(255, 60 + 2 * x + 4 * y)][c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    for sub in (False, True):
+        dw, dh, dc, px = decode_jpeg(encode_jpeg(w, h, 3, rgb, quality=95, subsample=sub))
+        assert (dw, dh, dc) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(px, rgb)) <= (4 if sub else 2)
+
+    # odd dimensions exercise the MCU edge clamp on both axes
+    j = encode_jpeg(9, 11, 3, rgb[: 9 * 11 * 3], quality=90, subsample=True)
+    assert decode_jpeg(j)[:3] == (9, 11, 3)
+
+    # progressive (SOF2) is rejected, not mis-decoded
+    base = bytearray(encode_jpeg(w, h, 1, flat))
+    sof0 = base.find(b"\xff\xc0")
+    base[sof0 + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(base))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" * 16)
+
+
+def test_jpeg_decode_skips_metadata_segments(spark):
+    """An APP1 (EXIF-style) segment injected into an existing JPEG changes
+    the file bytes but not the scan — the decoded-content phash and the
+    perceptual phash64 are both unchanged."""
+    import struct
+
+    from log_parser_cli_spark.extras.jpeg import encode_jpeg
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA
+
+    w, h = 16, 16
+    grad = _gradient_pixels(w, h)
+    j0 = encode_jpeg(w, h, 1, grad, quality=90)
+    app1 = b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00ab"
+    j1 = j0[:2] + app1 + j0[2:]  # insert right after SOI
+    assert j0 != j1
+    assets = spark.createDataFrame(
+        [
+            ("jpg-0", bytearray(j0), "image/jpeg", w, h, 0),
+            ("jpg-1", bytearray(j1), "image/jpeg", w, h, 0),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = {
+        r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()
+    }
+    assert feats["jpg-0"].phash == feats["jpg-1"].phash
+    assert feats["jpg-0"].phash64 == feats["jpg-1"].phash64
+
+
+def test_jpeg_and_png_of_same_image_cluster_by_phash64(spark):
+    """Cross-FORMAT perceptual clustering: the lossy JPEG and the lossless
+    PNG of the same pixels have different exact content hashes but land
+    within a small phash64 Hamming distance, so image_near_dup_pairs
+    clusters them — the real-world near-dup shape (same photo, different
+    encoder) that neither raw-byte nor decoded-byte hashing can catch."""
+    from log_parser_cli_spark.extras.jpeg import encode_jpeg
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA, image_near_dup_pairs
+    from log_parser_cli_spark.extras.png import encode_png
+
+    w, h = 32, 32
+    grad = _gradient_pixels(w, h)
+    other = bytes((255 - grad[i]) if ((i // w) + i) % 2 else grad[i] for i in range(len(grad)))
+    assets = spark.createDataFrame(
+        [
+            ("png", bytearray(encode_png(w, h, 1, grad)), "image/png", w, h, 0),
+            ("jpeg", bytearray(encode_jpeg(w, h, 1, grad, quality=90)), "image/jpeg", w, h, 0),
+            ("other", bytearray(encode_png(w, h, 1, other)), "image/png", w, h, 0),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = extract_features(spark, assets, fake_decode=False)
+    by_id = {r.asset_id: r for r in feats.collect()}
+    assert by_id["png"].phash != by_id["jpeg"].phash  # lossy: exact differs
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in image_near_dup_pairs(feats, max_hamming=6).collect()
+    }
+    assert ("jpeg", "png") in pairs
+    assert not any("other" in p for p in pairs)
