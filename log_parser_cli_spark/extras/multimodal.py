@@ -93,6 +93,52 @@ def make_fake_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def average_hash_audio(
+    n_channels: int, bits: int, frames: bytes, grid: int = 64
+) -> int:
+    """64-bit perceptual hash of decoded PCM audio: mono-mixed absolute
+    amplitude → ``grid`` equal time windows → bit set where a window's mean
+    energy is ≥ the mean of window means (the envelope shape). Pure stdlib,
+    deterministic. Mean-relative bits make the hash invariant under uniform
+    gain scaling and container re-wraps, while a different recording lands
+    far away — the audio twin of ``average_hash``. Signed 64-bit wrap for
+    LongType storage."""
+    import struct
+
+    width = bits // 8
+    n = len(frames) // (width * n_channels)
+    if n == 0:
+        return 0
+    if bits == 8:
+        vals = [abs(b - 128) for b in frames]  # 8-bit WAV is unsigned
+    elif bits == 16:
+        vals = [abs(v) for v in struct.unpack(f"<{n * n_channels}h", frames)]
+    else:  # 24/32-bit signed little-endian
+        vals = [
+            abs(
+                int.from_bytes(
+                    frames[i * width : (i + 1) * width], "little", signed=True
+                )
+            )
+            for i in range(n * n_channels)
+        ]
+    mono = [
+        sum(vals[i * n_channels : (i + 1) * n_channels]) / n_channels for i in range(n)
+    ]
+    means = []
+    for g in range(grid):
+        lo = g * n // grid
+        hi = max(lo + 1, (g + 1) * n // grid)
+        w = mono[min(lo, n - 1) : min(hi, n)]
+        means.append(sum(w) / len(w))
+    overall = sum(means) / len(means)
+    h = 0
+    for i, m in enumerate(means):
+        if m >= overall:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
     """Decode a payload once → (content bytes for the EXACT hash, perceptual
     ``average_hash`` for images or None).
@@ -122,7 +168,10 @@ def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
         return struct.pack(">IIB", w, h, c) + pixels, average_hash(w, h, c, pixels)
     if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_MAGIC:
         n_ch, rate, bits, frames = decode_wav(data)
-        return struct.pack(">HIH", n_ch, rate, bits) + frames, None
+        return (
+            struct.pack(">HIH", n_ch, rate, bits) + frames,
+            average_hash_audio(n_ch, bits, frames),
+        )
     raise NotImplementedError(
         "only PNG, baseline JPEG, and PCM WAV decode in-container (stdlib); "
         "compressed audio and video need codec libraries"

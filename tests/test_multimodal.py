@@ -371,3 +371,42 @@ def test_jpeg_and_png_of_same_image_cluster_by_phash64(spark):
     }
     assert ("jpeg", "png") in pairs
     assert not any("other" in p for p in pairs)
+
+
+def test_audio_phash64_is_gain_invariant(spark):
+    """The audio perceptual hash (envelope shape, mean-relative bits) is
+    identical under uniform gain scaling and container re-wraps — both of
+    which move the exact content hash — while a different waveform lands
+    far away."""
+    import math
+    import struct
+
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA
+    from log_parser_cli_spark.extras.wav import encode_wav
+
+    n = 2048
+    # amplitude-modulated tone: a distinctive envelope
+    base = [int(12000 * math.sin(i / 9.0) * (0.2 + 0.8 * abs(math.sin(i / 300.0))))
+            for i in range(n)]
+    quieter = [int(v * 0.5) for v in base]
+    other = [int(12000 * math.sin(i / 9.0) * (1.0 - 0.9 * abs(math.sin(i / 300.0))))
+             for i in range(n)]
+    wrap = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    assets = spark.createDataFrame(
+        [
+            ("a", bytearray(encode_wav(1, 8000, base)), "audio/wav", 0, 0, 256),
+            ("a-wrap", bytearray(encode_wav(1, 8000, base, extra_chunks=wrap)), "audio/wav", 0, 0, 256),
+            ("a-quiet", bytearray(encode_wav(1, 8000, quieter)), "audio/wav", 0, 0, 256),
+            ("b", bytearray(encode_wav(1, 8000, other)), "audio/wav", 0, 0, 256),
+        ],
+        ASSET_SCHEMA,
+    )
+    by_id = {r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()}
+
+    def hamming(x, y):
+        return bin((by_id[x].phash64 ^ by_id[y].phash64) & ((1 << 64) - 1)).count("1")
+
+    assert by_id["a"].phash64 == by_id["a-wrap"].phash64  # re-wrap: identical
+    assert by_id["a"].phash != by_id["a-quiet"].phash  # gain moves every byte...
+    assert hamming("a", "a-quiet") <= 4  # ...but barely moves the envelope
+    assert hamming("a", "b") > 16  # inverted envelope is far
