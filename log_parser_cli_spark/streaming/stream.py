@@ -38,21 +38,34 @@ def stream_replay(
     mapping_df: DataFrame,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    stream_dir: str | None = None,
 ):
     """Stream the sequences table through parse→enrich→route (frozen mapping).
+
+    ``stream_dir``: stream token files from a separate directory (e.g. a
+    many-file split of the corpus for multi-batch runs) while dims still
+    load from ``fixture_dir``; default streams the fixture's own
+    sequences file(s).
 
     Returns the started StreamingQuery; callers awaitTermination() it.
     """
     vocab_rows, source_heads, sources_df = load_dims(spark, fixture_dir)
     seq_schema = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet")).schema
-    # file-stream source wants a directory: stream the fixture dir, filtered
-    # to the sequences file(s)
-    stream = (
-        spark.readStream.schema(seq_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "sequences*.parquet")
-        .parquet(fixture_dir)
-    )
+    if stream_dir is None:
+        # file-stream source wants a directory: stream the fixture dir,
+        # filtered to the sequences file(s)
+        stream = (
+            spark.readStream.schema(seq_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", "sequences*.parquet")
+            .parquet(fixture_dir)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(seq_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(stream_dir)
+        )
 
     table = SnapshotTable(os.path.join(out_dir, "routed"))
 
