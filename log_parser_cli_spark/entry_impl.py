@@ -895,6 +895,29 @@ def q_compression_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_gain_stats(enriched)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup MATERIALIZATION: SimHash near-dup pairs → connected components
+    (min-label propagation) → one row per surviving component with its
+    member count. Isolated docs are singleton components, so the row count
+    IS the deduplicated corpus size. Oracle: DuckDB recursive CTE computing
+    min-reachable-id over the same pair set."""
+    from log_parser_cli_spark.extras.dedup import (
+        connected_components,
+        simhash,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(_tbl(sf_dir, "documents"))
+    fp = simhash(docs, "doc_id", "text")
+    pairs = simhash_pairs(fp, max_hamming=SIMHASH_MAX_HAMMING, chunks=SIMHASH_CHUNKS)
+    comps = connected_components(
+        pairs.select("a", "b"), all_docs=docs.select(F.col("doc_id").alias("doc"))
+    )
+    return comps.groupBy("component").agg(F.count("*").alias("n_docs")).select(
+        F.col("component").cast("long"), F.col("n_docs").cast("long")
+    )
+
+
 def q_stream_batch_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T3 batch-equivalence promoted from pytest to the driver gate: the
     Structured Streaming replay's snapshot-committed routed table must equal
@@ -984,6 +1007,7 @@ QUERIES = {
     "source_routing": q_source_routing,
     "compression_gain": q_compression_gain,
     "stream_batch_equality": q_stream_batch_equality,
+    "dedup_components": q_dedup_components,
 }
 
 
@@ -1192,6 +1216,32 @@ pairs AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _dedup_components_sql(max_hamming: int, chunks: int, bits: int = 60) -> str:
+    """Recursive-CTE twin of connected_components over the SimHash pairs:
+    walk accumulates every (node, reachable-node) pair inside a component
+    (UNION dedupes, so the recursion reaches a fixpoint), min over the
+    reachable set is the component label — lexicographic min over VARCHAR
+    doc ids on both engines."""
+    return f"""
+WITH RECURSIVE {_simhash_fp_banded_cte(chunks, bits)},
+p AS (
+  SELECT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y USING (chunk, val)
+  WHERE x.doc < y.doc AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+  GROUP BY 1, 2
+),
+edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+walk(x, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.x, w.comp FROM edges e JOIN walk w ON w.x = e.y
+),
+labeled AS (SELECT x, min(comp) AS comp FROM walk GROUP BY x)
+SELECT CAST(comp AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY 1
 """
 
 
@@ -1686,6 +1736,7 @@ def build_oracle_sql() -> dict[str, str]:
             SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS, SIMHASH_CAP_BUCKET
         ),
         "simhash_hot_buckets": _simhash_hot_buckets_sql(SIMHASH_CHUNKS, SIMHASH_CAP_BUCKET),
+        "dedup_components": _dedup_components_sql(SIMHASH_MAX_HAMMING, SIMHASH_CHUNKS),
         "dedup_simhash_wide": _simhash_wide_sql(
             SIMHASH_WIDE_HAMMING, SIMHASH_WIDE_CHUNKS, SIMHASH_WIDE_COMBO
         ),

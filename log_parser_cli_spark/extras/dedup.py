@@ -446,6 +446,60 @@ def simhash_pairs_wide(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(
+    pairs: DataFrame, all_docs: DataFrame | None = None, max_iters: int = 50
+) -> DataFrame:
+    """(doc, component) labeling over near-dup ``pairs`` (columns a, b):
+    component = smallest doc id reachable — the dedup MATERIALIZATION step
+    (keep one doc per component = the surviving corpus), which the pair
+    generators alone don't give you.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds, and near-dup components are dense (every member within radius
+    of a shared template), so diameter is small in practice — ``max_iters``
+    is a safety bound, convergence is checked per round. Per-round lineage
+    is cut with ``localCheckpoint`` (the standard iterative-DataFrame shape;
+    without it the plan doubles every round). All shuffles are keyed
+    equi-joins on doc ids; the driver coordinates rounds but never holds
+    data. ``all_docs`` (one ``doc`` column): include isolated docs as
+    their own singleton components, so distinct components == the deduped
+    corpus size."""
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    nodes = edges.select("x").distinct()
+    if all_docs is not None:
+        nodes = nodes.unionByName(all_docs.select(F.col("doc").alias("x"))).distinct()
+    labels = nodes.select("x", F.col("x").alias("comp")).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("x").alias("y"), F.col("comp").alias("ncomp")), "y"
+            )
+            .groupBy("x")
+            .agg(F.min("ncomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("doc"), F.col("comp").alias("component"))
+
+
 def simhash_bruteforce_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     """All pairs within Hamming ≤ ``max_hamming`` by a full self-join — the
     recall BASELINE for the ``simhash_recall`` check at test scale only

@@ -235,3 +235,24 @@ def test_minhash_hot_bucket_guard(spark):
     cands = minhash_lsh_candidates(sig, bands=4, rows_per_band=4, max_bucket=32).collect()
     assert len(cands) == n - 1
     assert all(r.a == 0 for r in cands)
+
+
+def test_connected_components_labels_dup_groups(spark):
+    """Dedup materialization: pairs → min-label components; isolated docs
+    are singleton components; a 30-edge chain (diameter >> 1 round)
+    converges to one component — the per-round convergence check works."""
+    from log_parser_cli_spark.extras.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)], "a long, b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]], "doc long"
+    )
+    comp = {r.doc: r.component for r in connected_components(pairs, docs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], "a long, b long")
+    comp2 = {r.doc: r.component for r in connected_components(chain).collect()}
+    assert set(comp2.values()) == {0}
+    assert len(comp2) == 31
