@@ -207,39 +207,48 @@ def banded_pair_join(
     return normal_pairs.unionByName(star).distinct()
 
 
+FIRST_BAND_ARRAY_FILTER = (
+    "band = array_position(zip_with(x._bands, y._bands, (p, q) -> p = q), true) - 1"
+)
+"""Generic first-matching-band predicate for banded rows that carry their
+full per-band value array as ``_bands``: a pair is kept only in the first
+band where the two arrays agree — the payload-array twin of the SimHash
+XOR construction (see ``banded_pair_join``)."""
+
+
 def minhash_banded(sig: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
-    """(doc, band, bucket) banded rows for MinHash LSH."""
-    return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    """(doc, band, bucket, _bands) banded rows for MinHash LSH; ``_bands``
+    carries the doc's full bucket array for the first-band dedup filter."""
+    buckets = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bucket")
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc", buckets.alias("_bands")).select(
+        "doc", "_bands", F.posexplode("_bands").alias("band", "bucket")
+    )
 
 
 def minhash_lsh_candidates(
     sig: DataFrame, bands: int = 4, rows_per_band: int = 4, max_bucket: int | None = None
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs (a<b).
-    ``max_bucket`` = hot-bucket guard (see ``banded_pair_join``)."""
+    ``max_bucket`` = hot-bucket guard (see ``banded_pair_join``); unguarded,
+    pair dedup is the shuffle-free first-band filter."""
     return banded_pair_join(
-        minhash_banded(sig, bands, rows_per_band), ["band", "bucket"], max_bucket
+        minhash_banded(sig, bands, rows_per_band),
+        ["band", "bucket"],
+        max_bucket,
+        first_band_filter=None if max_bucket is not None else FIRST_BAND_ARRAY_FILTER,
     )
 
 
