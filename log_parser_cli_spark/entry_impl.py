@@ -895,6 +895,39 @@ def q_compression_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_gain_stats(enriched)
 
 
+def q_stream_discovery_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (evolving state) promoted to the driver gate: the corpus streams
+    as TWO micro-batches through stream_with_discovery — batch 1 bootstraps
+    the library, batch 2 extends it with only its novel signatures — and
+    the routed per-(source, template_star) counts must equal the ground
+    truth exactly (same contract as mapping_evolution, now through the
+    streaming surface with per-batch snapshot commits)."""
+    from log_parser_cli_spark.datagen import GEN_VERSION
+    from log_parser_cli_spark.plans.pipeline import read_routed
+    from log_parser_cli_spark.streaming.stream import stream_with_discovery
+
+    fx = fixtures_for_sf_dir(sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(_runs_base(), f"{sf_name}-sdisc-v{ENGINE_VERSION}.{GEN_VERSION}")
+    split_dir = os.path.join(base, "stream_src")
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
+        ordinal = F.substring("doc_id", 5, 9).cast("long")
+        seq.filter(ordinal % 2 == 0).coalesce(1).write.mode("overwrite").parquet(split_dir)
+        seq.filter(ordinal % 2 == 1).coalesce(1).write.mode("append").parquet(split_dir)
+    out = os.path.join(base, "out")
+    from log_parser_cli_spark.plans.snapshots import SnapshotTable
+
+    if not SnapshotTable.is_snapshot_dir(os.path.join(out, "routed")):
+        q = stream_with_discovery(spark, fx, split_dir, out, available_now=True)
+        q.awaitTermination(600)
+    return (
+        read_routed(spark, out)
+        .groupBy("source", "template_star")
+        .agg(F.count("*").cast("long").alias("n_sequences"))
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup MATERIALIZATION: SimHash near-dup pairs → connected components
     (min-label propagation) → one row per surviving component with its
@@ -1007,6 +1040,7 @@ QUERIES = {
     "source_routing": q_source_routing,
     "compression_gain": q_compression_gain,
     "stream_batch_equality": q_stream_batch_equality,
+    "stream_discovery_equality": q_stream_discovery_equality,
     "dedup_components": q_dedup_components,
 }
 
@@ -1727,6 +1761,10 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_token_mismatch,
                    CAST(0 AS BIGINT) AS n_star_mismatch
             FROM '{gt}'
+        """,
+        "stream_discovery_equality": f"""
+            SELECT source, event_template AS template_star, CAST(count(*) AS BIGINT) AS n_sequences
+            FROM '{gt}' GROUP BY 1, 2
         """,
         "dedup_jaccard_docs": _simhash_cands_jaccard_sql(0.3),
         "dedup_minhash_docs": _minhash_sql(0.3),
