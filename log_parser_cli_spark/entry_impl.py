@@ -902,6 +902,9 @@ def q_stream_discovery_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the routed per-(source, template_star) counts must equal the ground
     truth exactly (same contract as mapping_evolution, now through the
     streaming surface with per-batch snapshot commits)."""
+    import shutil
+    import uuid
+
     from log_parser_cli_spark.datagen import GEN_VERSION
     from log_parser_cli_spark.plans.pipeline import read_routed
     from log_parser_cli_spark.streaming.stream import stream_with_discovery
@@ -910,17 +913,28 @@ def q_stream_discovery_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     base = os.path.join(_runs_base(), f"{sf_name}-sdisc-v{ENGINE_VERSION}.{GEN_VERSION}")
     split_dir = os.path.join(base, "stream_src")
-    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+    if not os.path.isdir(split_dir):
+        # format-agnostic 2-way split by md5 parity of the doc id (never
+        # doc_id arithmetic — ids may be non-numeric), staged in a temp dir
+        # and renamed atomically so a crash between the two writes can't
+        # leave a half corpus that looks complete
         seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
-        ordinal = F.substring("doc_id", 5, 9).cast("long")
-        seq.filter(ordinal % 2 == 0).coalesce(1).write.mode("overwrite").parquet(split_dir)
-        seq.filter(ordinal % 2 == 1).coalesce(1).write.mode("append").parquet(split_dir)
+        parity = F.expr("conv(substr(md5(doc_id), 1, 8), 16, 10) % 2")
+        tmp = os.path.join(base, f".stream_src.{uuid.uuid4().hex[:8]}")
+        seq.filter(parity == 0).coalesce(1).write.mode("overwrite").parquet(tmp)
+        seq.filter(parity == 1).coalesce(1).write.mode("append").parquet(tmp)
+        os.makedirs(base, exist_ok=True)
+        shutil.rmtree(split_dir, ignore_errors=True)
+        os.rename(tmp, split_dir)
     out = os.path.join(base, "out")
-    from log_parser_cli_spark.plans.snapshots import SnapshotTable
-
-    if not SnapshotTable.is_snapshot_dir(os.path.join(out, "routed")):
-        q = stream_with_discovery(spark, fx, split_dir, out, available_now=True)
-        q.awaitTermination(600)
+    # ALWAYS start the stream: the checkpoint makes a completed run an
+    # availableNow no-op and a half-finished run (crash after batch 1)
+    # RESUMES — skipping on is_snapshot_dir would freeze a partial table
+    # into the gate forever
+    q = stream_with_discovery(spark, fx, split_dir, out, available_now=True)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_with_discovery did not drain within 600s")
     return (
         read_routed(spark, out)
         .groupBy("source", "template_star")
@@ -970,7 +984,11 @@ def q_stream_batch_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mapping = spark.read.parquet(os.path.join(out, "template_mapping"))
     q = stream_replay(spark, fx, stream_out, mapping, available_now=True)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # on timeout awaitTermination returns False (no raise) — reading
+        # the routed table mid-stream would fail the gate confusingly
+        q.stop()
+        raise RuntimeError("stream_replay did not drain within 600s")
     streamed = read_routed(spark, stream_out).select(
         "doc_id", F.col("tokens").alias("s_tokens"), F.col("template_star").alias("s_star")
     )
@@ -1224,10 +1242,11 @@ SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_pairs_exact,
 
 
 def _simhash_capped_sql(max_hamming: int, chunks: int, cap: int, bits: int = 60) -> str:
-    """Oracle twin of ``simhash_pairs(..., max_bucket=cap)``: buckets over the
-    cap contribute a spanning star (lexicographic-min doc ↔ member) instead of
-    all pairs — replayed here with a window count + min + union, so the guard
-    itself is hash-gated."""
+    """Oracle twin of ``simhash_pairs(..., max_bucket=cap)``: buckets over
+    the cap contribute the TWO-LEVEL star (identical-fingerprint members →
+    their group min at distance 0, group minima → bucket min) instead of
+    all pairs — replayed here with a window count + two grouped minima +
+    union, so the guard itself is hash-gated."""
     return f"""
 WITH {_simhash_fp_banded_cte(chunks, bits)},
 sized AS (
@@ -1236,15 +1255,20 @@ sized AS (
 ),
 normal AS (SELECT doc, simhash, chunk, val FROM sized WHERE bsz <= {cap}),
 hot AS (SELECT doc, simhash, chunk, val FROM sized WHERE bsz > {cap}),
-rep AS (SELECT chunk, val, min(doc) AS rdoc FROM hot GROUP BY chunk, val),
+grp AS (SELECT chunk, val, simhash, min(doc) AS gmin FROM hot GROUP BY 1, 2, 3),
+brep AS (SELECT chunk, val, min(gmin) AS rdoc FROM grp GROUP BY 1, 2),
 pairs AS (
   SELECT DISTINCT a, b, sa, sb FROM (
     SELECT x.doc AS a, y.doc AS b, x.simhash AS sa, y.simhash AS sb
     FROM normal x JOIN normal y USING (chunk, val) WHERE x.doc < y.doc
     UNION ALL
-    SELECT r.rdoc AS a, h.doc AS b, f2.simhash AS sa, h.simhash AS sb
-    FROM hot h JOIN rep r USING (chunk, val) JOIN fp f2 ON f2.doc = r.rdoc
-    WHERE h.doc <> r.rdoc
+    SELECT g.gmin AS a, h.doc AS b, g.simhash AS sa, h.simhash AS sb
+    FROM hot h JOIN grp g USING (chunk, val, simhash)
+    WHERE h.doc <> g.gmin
+    UNION ALL
+    SELECT r.rdoc AS a, g.gmin AS b, f2.simhash AS sa, g.simhash AS sb
+    FROM grp g JOIN brep r USING (chunk, val) JOIN fp f2 ON f2.doc = r.rdoc
+    WHERE g.gmin <> r.rdoc
   )
 )
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

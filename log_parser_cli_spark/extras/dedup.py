@@ -134,15 +134,22 @@ def banded_pair_join(
     ``max_bucket`` is the HOT-BUCKET GUARD. A bucket of m rows emits C(m, 2)
     pairs, so one degenerate bucket — thousands of empty/boilerplate docs
     sharing simhash 0, a dead band value — makes the join's OUTPUT quadratic,
-    and AQE can split a skewed input but not a quadratic output. Buckets above
-    the cap instead emit a spanning STAR against the bucket's
-    lexicographically smallest doc: O(m) rows, and since an oversized bucket
-    is by construction a near-total duplicate group, star edges preserve
-    exactly the connectivity that dedup grouping consumes. Pair-list
-    semantics stay EXACT for every bucket ≤ max_bucket; capped buckets are
-    reported by ``hot_bucket_stats`` over the same banded rows — no silent
-    truncation. With the default None the guard is off (the oracle-verified
-    exact shape; recall gates run here).
+    and AQE can split a skewed input but not a quadratic output. Buckets
+    above the cap instead emit a TWO-LEVEL STAR in O(m) rows: members with
+    an IDENTICAL full signature (the payload, or the carried ``_bands``
+    array) link to their signature-group's smallest doc at signature
+    distance 0 — so the exact-duplicate groups that actually cause
+    degenerate buckets lose NOTHING to downstream distance filters — and
+    the group minima link to the bucket's smallest doc. The guard is
+    therefore an APPROXIMATION, and honestly so: a pair of DISTINCT
+    signatures whose only shared buckets are capped survives downstream
+    radius filtering only if the representative edges stay within the
+    radius; exact pair semantics inside a hot bucket inherently require up
+    to C(m, 2) distance checks, which is the very cost the cap exists to
+    refuse. Pair-list semantics stay EXACT for every bucket ≤ max_bucket;
+    capped buckets are reported by ``hot_bucket_stats`` over the same
+    banded rows — no silent truncation. With the default None the guard is
+    off (the oracle-verified exact shape; recall gates run here).
 
     ``first_band_filter`` replaces the pair-dedup DISTINCT with a predicate
     (SQL over the ``x``/``y`` aliases and the key columns) that is true for
@@ -192,18 +199,50 @@ def banded_pair_join(
         .select(*pair_select())
     )
     hot = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
-    # min(struct) picks the lexicographically smallest doc WITH its payload
-    rep = hot.groupBy(*keys).agg(F.min(F.struct("doc", *payload)).alias("_rep"))
-    star = (
-        hot.join(rep, list(keys))
-        .filter(F.col("doc") != F.col("_rep.doc"))
-        .select(
-            F.col("_rep.doc").alias("a"),
-            F.col("doc").alias("b"),
-            *[F.col(f"_rep.{c}").alias(f"{c}_a") for c in payload],
-            *[F.col(c).alias(f"{c}_b") for c in payload],
-        )
+    sig_cols = list(payload) if payload else (
+        ["_bands"] if "_bands" in banded.columns else []
     )
+    if sig_cols:
+        # two-level star (see docstring): signature-group min first, then
+        # bucket min over the group minima
+        grp = hot.groupBy(*keys, *sig_cols).agg(F.min("doc").alias("_gmin"))
+        intra = (
+            hot.join(grp, [*keys, *sig_cols])
+            .filter(F.col("doc") != F.col("_gmin"))
+            .select(
+                F.col("_gmin").alias("a"),
+                F.col("doc").alias("b"),
+                # identical signature on both sides by construction
+                *[F.col(c).alias(f"{c}_a") for c in payload],
+                *[F.col(c).alias(f"{c}_b") for c in payload],
+            )
+        )
+        reps = grp.select(*keys, *sig_cols, F.col("_gmin").alias("doc"))
+        brep = reps.groupBy(*keys).agg(F.min(F.struct("doc", *payload)).alias("_rep"))
+        inter = (
+            reps.join(brep, list(keys))
+            .filter(F.col("doc") != F.col("_rep.doc"))
+            .select(
+                F.col("_rep.doc").alias("a"),
+                F.col("doc").alias("b"),
+                *[F.col(f"_rep.{c}").alias(f"{c}_a") for c in payload],
+                *[F.col(c).alias(f"{c}_b") for c in payload],
+            )
+        )
+        star = intra.unionByName(inter)
+    else:
+        # no signature to refine on: single-level star vs the bucket min
+        rep = hot.groupBy(*keys).agg(F.min(F.struct("doc", *payload)).alias("_rep"))
+        star = (
+            hot.join(rep, list(keys))
+            .filter(F.col("doc") != F.col("_rep.doc"))
+            .select(
+                F.col("_rep.doc").alias("a"),
+                F.col("doc").alias("b"),
+                *[F.col(f"_rep.{c}").alias(f"{c}_a") for c in payload],
+                *[F.col(c).alias(f"{c}_b") for c in payload],
+            )
+        )
     return normal_pairs.unionByName(star).distinct()
 
 
@@ -474,13 +513,19 @@ def connected_components(
     data. ``all_docs`` (one ``doc`` column): include isolated docs as
     their own singleton components, so distinct components == the deduped
     corpus size."""
-    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    # materialize the edge set ONCE — without this, every propagation
+    # round's join re-executes the whole upstream pair generation (the
+    # expensive LSH banded self-join)
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .localCheckpoint()
     )
     nodes = edges.select("x").distinct()
     if all_docs is not None:
         nodes = nodes.unionByName(all_docs.select(F.col("doc").alias("x"))).distinct()
     labels = nodes.select("x", F.col("x").alias("comp")).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -505,7 +550,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning silently would split real components (non-minimal
+        # labels) and inflate the deduped corpus size
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            f"(a component with diameter > max_iters exists; raise the bound)"
+        )
     return labels.select(F.col("x").alias("doc"), F.col("comp").alias("component"))
 
 

@@ -254,9 +254,12 @@ def image_near_dup_pairs(
 
     width = 64 // chunks
     mask = (1 << width) - 1
-    fp = features.filter(F.col("phash64").isNotNull()).select(
-        F.col("asset_id").alias("doc"), F.col("phash64").alias("ph")
-    )
+    fp = features.filter(F.col("phash64").isNotNull())
+    if "mime" in features.columns:
+        # audio carries a phash64 too (envelope hash) — image and audio
+        # hashes live in unrelated spaces, so keep the banding per modality
+        fp = fp.filter(F.col("mime").startswith("image/"))
+    fp = fp.select(F.col("asset_id").alias("doc"), F.col("phash64").alias("ph"))
     banded = fp.select(
         "doc",
         "ph",

@@ -77,7 +77,10 @@ def compression_gain_stats(
         raw_b = _gzip_len(raws)
         tpl_b = _gzip_len(template)
         var_b = _gzip_len(var_text)
-        gain = 1.0 - (tpl_b + var_b) / raw_b if raw_b else 0.0
+        # threshold the ROUNDED gain — it is the published value, and the
+        # oracle twin replays the same comparison (an unrounded compare
+        # diverges in the [threshold - 5e-5, threshold) window)
+        gain = round(1.0 - (tpl_b + var_b) / raw_b if raw_b else 0.0, 4)
         return pd.DataFrame(
             [
                 {
@@ -86,7 +89,7 @@ def compression_gain_stats(
                     "raw_gzip_bytes": raw_b,
                     "template_gzip_bytes": tpl_b,
                     "vars_gzip_bytes": var_b,
-                    "compression_gain": round(gain, 4),
+                    "compression_gain": gain,
                     "overbroad": gain < gain_threshold,
                 }
             ]

@@ -256,3 +256,25 @@ def test_connected_components_labels_dup_groups(spark):
     comp2 = {r.doc: r.component for r in connected_components(chain).collect()}
     assert set(comp2.values()) == {0}
     assert len(comp2) == 31
+
+
+def test_hot_bucket_two_level_star_keeps_exact_dup_groups(spark):
+    """Review fix: the guard's star edges pass through the downstream radius
+    filter, so a one-level star anchored on the BUCKET min would lose every
+    pair of a second exact-dup group whose fingerprint is far from the
+    anchor. The two-level star links identical-fingerprint members at
+    distance 0 first — both groups keep all their pairs; only the single
+    inter-group representative edge is subject to the radius."""
+    from log_parser_cli_spark.extras.dedup import simhash_pairs
+
+    fp_a = 0
+    fp_b = sum(1 << b for b in range(15, 23))  # shares chunk 0 (bits 0-14), hamming 8
+    rows = [(i, fp_a) for i in range(600)] + [(i, fp_b) for i in range(600, 1200)]
+    fp = spark.createDataFrame(rows, "doc long, simhash long")
+    got = simhash_pairs(fp, max_hamming=3, chunks=4, max_bucket=64).collect()
+    # 599 intra-A pairs (anchor 0) + 599 intra-B pairs (anchor 600); the
+    # inter-group edge (0, 600) is at hamming 8 and correctly filtered
+    assert len(got) == 1198
+    assert all(r.hamming == 0 for r in got)
+    assert {r.a for r in got} == {0, 600}
+    assert {r.b for r in got if r.a == 600} == set(range(601, 1200))

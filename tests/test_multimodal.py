@@ -410,3 +410,35 @@ def test_audio_phash64_is_gain_invariant(spark):
     assert by_id["a"].phash != by_id["a-quiet"].phash  # gain moves every byte...
     assert hamming("a", "a-quiet") <= 4  # ...but barely moves the envelope
     assert hamming("a", "b") > 16  # inverted envelope is far
+
+
+def test_image_near_dup_pairs_exclude_audio(spark):
+    """Review fix: audio phash64 (envelope hash) lives in an unrelated space
+    from the image average-hash — mixed asset tables must not produce
+    cross-modality or audio-audio 'image' pairs."""
+    import math
+
+    from log_parser_cli_spark.extras.jpeg import encode_jpeg
+    from log_parser_cli_spark.extras.multimodal import ASSET_SCHEMA, image_near_dup_pairs
+    from log_parser_cli_spark.extras.png import encode_png
+    from log_parser_cli_spark.extras.wav import encode_wav
+
+    w, h = 32, 32
+    grad = _gradient_pixels(w, h)
+    tone = [int(9000 * math.sin(i / 7.0)) for i in range(1024)]
+    assets = spark.createDataFrame(
+        [
+            ("img-png", bytearray(encode_png(w, h, 1, grad)), "image/png", w, h, 0),
+            ("img-jpg", bytearray(encode_jpeg(w, h, 1, grad, quality=90)), "image/jpeg", w, h, 0),
+            ("wav-1", bytearray(encode_wav(1, 8000, tone)), "audio/wav", 0, 0, 128),
+            ("wav-2", bytearray(encode_wav(1, 8000, [int(v * 0.8) for v in tone])), "audio/wav", 0, 0, 128),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = extract_features(spark, assets, fake_decode=False)
+    # the two gain-scaled WAVs are phash64-identical — without the mime
+    # filter they would band as an 'image' pair
+    by_id = {r.asset_id: r.phash64 for r in feats.collect()}
+    assert by_id["wav-1"] == by_id["wav-2"]
+    pairs = {(r.asset_a, r.asset_b) for r in image_near_dup_pairs(feats, max_hamming=6).collect()}
+    assert pairs == {("img-jpg", "img-png")} or pairs == {("img-png", "img-jpg")}
