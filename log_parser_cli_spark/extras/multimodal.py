@@ -155,6 +155,7 @@ def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
     """
     import struct
 
+    from log_parser_cli_spark.extras.avi import AVI_MAGIC, decode_avi_mjpeg
     from log_parser_cli_spark.extras.jpeg import SOI, decode_jpeg
     from log_parser_cli_spark.extras.png import PNG_SIGNATURE, decode_png
     from log_parser_cli_spark.extras.wav import RIFF_MAGIC, WAVE_MAGIC, decode_wav
@@ -172,9 +173,20 @@ def _decode_payload(payload: bytes) -> tuple[bytes, int | None]:
             struct.pack(">HIH", n_ch, rate, bits) + frames,
             average_hash_audio(n_ch, bits, frames),
         )
+    if data[:4] == RIFF_MAGIC and data[8:12] == AVI_MAGIC:
+        # MJPEG AVI: content = geometry + every decoded frame's pixels (a
+        # re-mux of the same frames collapses to one hash); perceptual =
+        # the FIRST frame's average-hash (thumbnail semantics)
+        w, h, usec, frames = decode_avi_mjpeg(data)
+        decoded = [decode_jpeg(f) for f in frames]
+        content = struct.pack(">IIII", w, h, usec, len(frames)) + b"".join(
+            d[3] for d in decoded
+        )
+        fw, fh, fc, px0 = decoded[0]
+        return content, average_hash(fw, fh, fc, px0)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, and PCM WAV decode in-container (stdlib); "
-        "compressed audio and video need codec libraries"
+        "only PNG, baseline JPEG, PCM WAV, and MJPEG AVI decode in-container "
+        "(stdlib); inter-frame video and compressed audio need codec libraries"
     )
 
 
@@ -329,12 +341,62 @@ def payload_embeddings(
     return assets.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
 
 
+def extract_frames(
+    spark: SparkSession, assets: DataFrame, every_ms: int = 500
+) -> DataFrame:
+    """REAL frame extraction for MJPEG AVI payloads: one row per sampled
+    (asset, ts) with the decoded frame's geometry and perceptual hash.
+
+    The Arrow-batched execution of what ``frame_sample_plan`` plans: per
+    video, only the frames on the ``every_ms`` grid are JPEG-decoded (frame
+    index = ts / container frame duration), never the whole stream. The
+    time grid derives from the CONTAINER's own header (frame count × frame
+    duration), not the metadata column. Non-AVI video payloads raise — the
+    never-garbage posture; inter-frame codecs need external libraries.
+    """
+    from log_parser_cli_spark.extras.avi import decode_avi_mjpeg
+    from log_parser_cli_spark.extras.jpeg import decode_jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.StringType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame_phash64", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_ts_ms", "frame_idx", "width", "height", "frame_phash64"]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, usec, frames = decode_avi_mjpeg(bytes(payload))
+                duration_ms = usec * len(frames) // 1000
+                for ts in range(0, max(duration_ms, 1), every_ms):
+                    idx = min(ts * 1000 // usec, len(frames) - 1)
+                    fw, fh, fc, px = decode_jpeg(frames[idx])
+                    rows.append((aid, ts, idx, fw, fh, average_hash(fw, fh, fc, px)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        assets.filter(F.col("mime").startswith("video/"))
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 500) -> DataFrame:
     """Plan frame-sampling work without decoding: one row per (asset, ts_ms).
 
-    Pure Catalyst (sequence + explode) — the decode of each planned frame is
-    the stubbed mapInPandas stage above. Demonstrates how a 100 TB video
-    corpus fans out to frame tasks without touching payload bytes.
+    Pure Catalyst (sequence + explode) — ``extract_frames`` is the decode
+    stage this plans for. Demonstrates how a 100 TB video corpus fans out
+    to frame tasks without touching payload bytes.
     """
     return (
         assets.filter(F.col("mime").startswith("video/"))

@@ -1,6 +1,7 @@
 """Multimodal binary-column plumbing (decode stubbed; Spark shape real)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from log_parser_cli_spark.extras.multimodal import (
     extract_features,
@@ -442,3 +443,79 @@ def test_image_near_dup_pairs_exclude_audio(spark):
     assert by_id["wav-1"] == by_id["wav-2"]
     pairs = {(r.asset_a, r.asset_b) for r in image_near_dup_pairs(feats, max_hamming=6).collect()}
     assert pairs == {("img-jpg", "img-png")} or pairs == {("img-png", "img-jpg")}
+
+
+def test_avi_mjpeg_container_roundtrip_and_rejections():
+    """The stdlib AVI container round-trips MJPEG frames, skips unknown RIFF
+    chunks, and rejects non-MJPEG streams / non-JPEG frame chunks."""
+    import struct
+
+    from log_parser_cli_spark.extras.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from log_parser_cli_spark.extras.jpeg import encode_jpeg
+
+    w, h = 16, 12
+    frames = [
+        encode_jpeg(w, h, 1, bytes(((x * 7 + y * 3 + k * 20) & 0xFF)
+                                   for y in range(h) for x in range(w)), quality=92)
+        for k in range(5)
+    ]
+    avi = encode_avi_mjpeg(w, h, frames, fps=4)
+    dw, dh, usec, got = decode_avi_mjpeg(avi)
+    assert (dw, dh, usec) == (w, h, 250000)
+    assert got == frames
+    # unknown chunk injected before movi is skipped per RIFF spec
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    body = avi[8:]
+    remux = b"RIFF" + struct.pack("<I", len(body) + len(junk)) + body[:4] + junk + body[4:]
+    assert decode_avi_mjpeg(remux)[3] == frames
+    with pytest.raises(ValueError, match="signature"):
+        decode_avi_mjpeg(b"\x00" * 32)
+    bad = bytearray(avi)
+    i = bad.find(b"MJPG")  # strh handler fourcc
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(ValueError, match="MJPEG only"):
+        decode_avi_mjpeg(bytes(bad))
+
+
+def test_real_video_decode_and_frame_extraction(spark):
+    """Video branch de-stubbed for MJPEG AVI: a re-mux of the same frames
+    collapses to one content phash with the first frame's perceptual hash,
+    and extract_frames decodes exactly the planned frame grid."""
+    import struct
+
+    from log_parser_cli_spark.extras.avi import encode_avi_mjpeg
+    from log_parser_cli_spark.extras.jpeg import decode_jpeg, encode_jpeg
+    from log_parser_cli_spark.extras.multimodal import (
+        ASSET_SCHEMA,
+        average_hash,
+        extract_frames,
+    )
+
+    w, h = 24, 16
+    frames = [
+        encode_jpeg(w, h, 1, bytes(((3 * x + 5 * y + 25 * k) & 0xFF)
+                                   for y in range(h) for x in range(w)), quality=92)
+        for k in range(4)
+    ]
+    avi = encode_avi_mjpeg(w, h, frames, fps=2)  # 2s of video
+    junk = b"JUNK" + struct.pack("<I", 4) + b"meta"
+    body = avi[8:]
+    remux = b"RIFF" + struct.pack("<I", len(body) + len(junk)) + body[:4] + junk + body[4:]
+    assets = spark.createDataFrame(
+        [
+            ("vid-0", bytearray(avi), "video/avi", w, h, 2000),
+            ("vid-1", bytearray(remux), "video/avi", w, h, 2000),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = {r.asset_id: r for r in extract_features(spark, assets, fake_decode=False).collect()}
+    assert feats["vid-0"].phash == feats["vid-1"].phash  # re-mux: same content
+    fw, fh, fc, px0 = decode_jpeg(frames[0])
+    assert feats["vid-0"].phash64 == average_hash(fw, fh, fc, px0)  # first frame
+
+    got = sorted(
+        (r.frame_ts_ms, r.frame_idx)
+        for r in extract_frames(spark, assets.filter(F.col("asset_id") == "vid-0"), every_ms=500).collect()
+    )
+    # 4 frames at 2 fps = 2000ms; grid 0/500/1000/1500 → frames 0,1,2,3
+    assert got == [(0, 0), (500, 1), (1000, 2), (1500, 3)]
