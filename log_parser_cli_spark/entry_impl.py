@@ -592,10 +592,11 @@ SIMHASH_CAP_BUCKET = 64
 
 def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """simhash_pairs with the hot-bucket guard ACTIVE: buckets over
-    SIMHASH_CAP_BUCKET emit a spanning star (min-doc representative) instead
-    of all C(m,2) pairs — the 100 TB shape for boilerplate-heavy corpora.
-    Exact pair semantics hold for every bucket ≤ cap; capped buckets are
-    reported by the companion ``simhash_hot_buckets`` query."""
+    SIMHASH_CAP_BUCKET emit the TWO-LEVEL star (identical-fingerprint
+    members → their group min at distance 0, group minima → bucket min)
+    instead of all C(m,2) pairs — the 100 TB shape for boilerplate-heavy
+    corpora. Exact pair semantics hold for every bucket ≤ cap; capped
+    buckets are reported by the companion ``simhash_hot_buckets`` query."""
     from log_parser_cli_spark.extras.dedup import simhash, simhash_pairs
 
     docs = spark.read.parquet(_tbl(sf_dir, "documents"))
@@ -913,7 +914,10 @@ def q_stream_discovery_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     base = os.path.join(_runs_base(), f"{sf_name}-sdisc-v{ENGINE_VERSION}.{GEN_VERSION}")
     split_dir = os.path.join(base, "stream_src")
-    if not os.path.isdir(split_dir):
+    # _SPLIT_OK is written into the temp dir BEFORE the atomic rename, so
+    # its presence proves a complete build; a dir without it (e.g. the
+    # pre-fix non-atomic writer's half corpus) is rebuilt
+    if not os.path.exists(os.path.join(split_dir, "_SPLIT_OK")):
         # format-agnostic 2-way split by md5 parity of the doc id (never
         # doc_id arithmetic — ids may be non-numeric), staged in a temp dir
         # and renamed atomically so a crash between the two writes can't
@@ -923,9 +927,15 @@ def q_stream_discovery_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(base, f".stream_src.{uuid.uuid4().hex[:8]}")
         seq.filter(parity == 0).coalesce(1).write.mode("overwrite").parquet(tmp)
         seq.filter(parity == 1).coalesce(1).write.mode("append").parquet(tmp)
+        with open(os.path.join(tmp, "_SPLIT_OK"), "w") as f:
+            f.write("ok")
         os.makedirs(base, exist_ok=True)
         shutil.rmtree(split_dir, ignore_errors=True)
         os.rename(tmp, split_dir)
+        # the stream checkpoint tracks processed FILE PATHS — a rebuilt
+        # split has new paths, so a kept checkpoint would re-ingest the
+        # whole corpus on top of the old routed rows
+        shutil.rmtree(os.path.join(base, "out"), ignore_errors=True)
     out = os.path.join(base, "out")
     # ALWAYS start the stream: the checkpoint makes a completed run an
     # availableNow no-op and a half-finished run (crash after batch 1)

@@ -41,7 +41,10 @@ def encode_avi_mjpeg(
     max_bytes = max(len(f) for f in jpeg_frames)
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        usec_per_frame, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX unset; 0x10=wasCaptureFile-ish flags ok
+        # dwFlags = 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+        # must NOT be set — declaring an index that doesn't exist breaks
+        # index-trusting parsers
+        usec_per_frame, max_bytes * fps, 0, 0,
         len(jpeg_frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -72,6 +75,9 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """
     if data[:4] != RIFF_MAGIC or data[8:12] != AVI_MAGIC:
         raise ValueError("not an AVI (bad RIFF/AVI signature)")
+    (declared,) = struct.unpack("<I", data[4:8])
+    if 8 + declared > len(data):
+        raise ValueError("truncated AVI (payload shorter than declared RIFF size)")
 
     width = height = usec = None
     frames: list[bytes] = []
@@ -100,16 +106,21 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                     handler = data[body_start + 4 : body_start + 8]
             elif in_movi and fourcc[2:4] in (b"dc", b"db"):
                 frame = data[body_start:body_end]
-                if frame[:2] != b"\xff\xd8":
+                if length == 0:
+                    pass  # zero-size chunk = dropped/duplicate frame (spec-valid)
+                elif frame[:2] != b"\xff\xd8":
                     raise ValueError("frame chunk is not a JPEG (MJPEG only)")
-                frames.append(frame)
+                else:
+                    frames.append(frame)
             pos = body_end + (length & 1)  # chunks are word-aligned
 
-    walk(12, 8 + struct.unpack("<I", data[4:8])[0], False)
+    walk(12, 8 + declared, False)
     if handler is not None and handler not in (b"MJPG", b"mjpg"):
         raise ValueError(f"unsupported video codec {handler!r} (MJPEG only)")
-    if width is None or usec is None:
-        raise ValueError("missing avih header")
+    if width is None or not usec:
+        # dwMicroSecPerFrame == 0 (rate only in strh) is out of scope here —
+        # reject rather than divide by zero downstream
+        raise ValueError("missing avih header or zero frame duration")
     if not frames:
         raise ValueError("no video frames in movi list")
     return width, height, usec, frames

@@ -199,9 +199,12 @@ def banded_pair_join(
         .select(*pair_select())
     )
     hot = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
-    sig_cols = list(payload) if payload else (
-        ["_bands"] if "_bands" in banded.columns else []
-    )
+    # the refinement signature: the payload if carried, else whatever full
+    # per-doc signature the banded rows hold (_bands array, or the raw
+    # simhash that simhash_candidates' rows carry without payload)
+    sig_cols = list(payload) or [
+        c for c in ("_bands", "simhash") if c in banded.columns
+    ]
     if sig_cols:
         # two-level star (see docstring): signature-group min first, then
         # bucket min over the group minima

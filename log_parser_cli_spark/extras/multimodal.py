@@ -377,10 +377,16 @@ def extract_frames(
                     continue
                 w, h, usec, frames = decode_avi_mjpeg(bytes(payload))
                 duration_ms = usec * len(frames) // 1000
+                decoded: dict[int, tuple[int, int, int]] = {}  # idx → features
                 for ts in range(0, max(duration_ms, 1), every_ms):
                     idx = min(ts * 1000 // usec, len(frames) - 1)
-                    fw, fh, fc, px = decode_jpeg(frames[idx])
-                    rows.append((aid, ts, idx, fw, fh, average_hash(fw, fh, fc, px)))
+                    if idx not in decoded:
+                        # a grid finer than the frame rate maps several ts
+                        # to one frame — decode (Huffman+IDCT) each ONCE
+                        fw, fh, fc, px = decode_jpeg(frames[idx])
+                        decoded[idx] = (fw, fh, average_hash(fw, fh, fc, px))
+                    fw, fh, ph = decoded[idx]
+                    rows.append((aid, ts, idx, fw, fh, ph))
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 

@@ -278,3 +278,20 @@ def test_hot_bucket_two_level_star_keeps_exact_dup_groups(spark):
     assert all(r.hamming == 0 for r in got)
     assert {r.a for r in got} == {0, 600}
     assert {r.b for r in got if r.a == 600} == set(range(601, 1200))
+
+
+def test_simhash_candidates_guard_uses_two_level_star(spark):
+    """Second review pass: simhash_candidates' banded rows carry the full
+    fingerprint as `simhash` (no payload) — the guard must refine on it,
+    so two exact-dup groups sharing a hot bucket keep their intra-group
+    candidate edges instead of all anchoring on the bucket min."""
+    from log_parser_cli_spark.extras.dedup import simhash_candidates
+
+    fp_a = 0
+    fp_b = sum(1 << b for b in range(15, 23))  # shares chunk 0, differs elsewhere
+    rows = [(i, fp_a) for i in range(300)] + [(i, fp_b) for i in range(300, 600)]
+    fp = spark.createDataFrame(rows, "doc long, simhash long")
+    got = {(r.a, r.b) for r in simhash_candidates(fp, chunks=4, max_bucket=64).collect()}
+    # group B's members must anchor on B's min (300), not the global min 0
+    assert {(300, b) for b in range(301, 600)} <= got
+    assert (0, 300) in got  # the single inter-group representative edge

@@ -519,3 +519,36 @@ def test_real_video_decode_and_frame_extraction(spark):
     )
     # 4 frames at 2 fps = 2000ms; grid 0/500/1000/1500 → frames 0,1,2,3
     assert got == [(0, 0), (500, 1), (1000, 2), (1500, 3)]
+
+
+def test_avi_dropped_frames_and_truncation():
+    """Second review pass: zero-size 00dc chunks (dropped frames) are
+    spec-valid and skipped; a payload shorter than its declared RIFF size
+    raises ValueError (not struct.error); zero frame duration is rejected."""
+    import struct
+
+    from log_parser_cli_spark.extras.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from log_parser_cli_spark.extras.jpeg import encode_jpeg
+
+    w, h = 8, 8
+    f0 = encode_jpeg(w, h, 1, bytes(range(64)))
+    avi = encode_avi_mjpeg(w, h, [f0], fps=5)
+    # splice a zero-size dropped-frame chunk in front of the real frame
+    movi_at = avi.find(b"movi")
+    dropped = b"00dc" + struct.pack("<I", 0)
+    patched = bytearray(avi[: movi_at + 4] + dropped + avi[movi_at + 4 :])
+    # fix the two enclosing size fields (RIFF and the movi LIST)
+    struct.pack_into("<I", patched, 4, struct.unpack("<I", avi[4:8])[0] + len(dropped))
+    list_size_at = movi_at - 4
+    struct.pack_into(
+        "<I", patched, list_size_at,
+        struct.unpack("<I", avi[list_size_at : list_size_at + 4])[0] + len(dropped),
+    )
+    assert decode_avi_mjpeg(bytes(patched))[3] == [f0]  # dropped chunk skipped
+    with pytest.raises(ValueError, match="truncated AVI"):
+        decode_avi_mjpeg(avi[:-10])
+    zero_usec = bytearray(avi)
+    avih_at = zero_usec.find(b"avih") + 8
+    struct.pack_into("<I", zero_usec, avih_at, 0)  # dwMicroSecPerFrame = 0
+    with pytest.raises(ValueError, match="zero frame duration"):
+        decode_avi_mjpeg(bytes(zero_usec))
