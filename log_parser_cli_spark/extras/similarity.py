@@ -133,43 +133,44 @@ def rhp_candidates(
     if planes_df is not None:
         bits_expr = f"transform(planes, p -> IF(({DOT.format(a=vec_col, b='p')}) >= 0, 1, 0))"
         bands_expr = (
-            f"transform(sequence(0, {n_bands - 1}), b -> aggregate(zip_with("
+            f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+            f"'band', b, 'val', aggregate(zip_with("
             f"slice(_bits, b * {rows_per_band} + 1, {rows_per_band}), "
             f"sequence(0, {rows_per_band - 1}), (x, r) -> x * shiftleft(1, r)), "
-            f"0, (acc, v) -> acc + v))"
+            f"0, (acc, v) -> acc + v)))"
         )
         banded = (
             embeddings.join(F.broadcast(planes_df))
             .withColumn("_bits", F.expr(bits_expr))
-            .select(F.col(id_col).alias("doc"), F.expr(bands_expr).alias("_bands"))
+            .select(F.col(id_col).alias("doc"), F.explode(F.expr(bands_expr)).alias("bk"))
+            .select("doc", "bk.band", "bk.val")
         )
     else:
         planes = hyperplanes(n_planes, dim)
-        val_exprs = []
+        band_structs = []
         for b in range(n_bands):
-            val_exprs.append(
-                " + ".join(
-                    f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[b * rows_per_band + r]))}) >= 0 THEN {1 << r} ELSE 0 END)"
-                    for r in range(rows_per_band)
-                )
+            val_expr = " + ".join(
+                f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[b * rows_per_band + r]))}) >= 0 THEN {1 << r} ELSE 0 END)"
+                for r in range(rows_per_band)
+            )
+            band_structs.append(
+                F.struct(F.lit(b).alias("band"), F.expr(val_expr).alias("val"))
             )
         banded = embeddings.select(
-            F.col(id_col).alias("doc"),
-            F.array(*[F.expr(e) for e in val_exprs]).alias("_bands"),
-        )
-    banded = banded.select("doc", "_bands", F.posexplode("_bands").alias("band", "val"))
+            F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bk")
+        ).select("doc", "bk.band", "bk.val")
     # shared guarded tail (hot-bucket star cap + reporting via
     # dedup.hot_bucket_stats) — LSH bucket skew is one failure mode across
-    # every banding family, so it gets one implementation; unguarded, pair
-    # dedup is the shuffle-free first-band filter over the carried array
-    from log_parser_cli_spark.extras.dedup import FIRST_BAND_ARRAY_FILTER, banded_pair_join
+    # every banding family, so it gets one implementation. NOTE: RHP keeps
+    # the DISTINCT pair-dedup rather than the first-band filter the SimHash/
+    # MinHash paths use — carrying the per-band signature array through the
+    # banding makes whole-stage codegen re-evaluate the 60 hyperplane dot
+    # products per exploded row (measured 10s → 46s on the sf0.1
+    # embedding_dedup), and RHP's band multiplicity is low enough that the
+    # distinct shuffles only ~the candidate count anyway.
+    from log_parser_cli_spark.extras.dedup import banded_pair_join
 
-    return banded_pair_join(
-        banded,
-        ["band", "val"],
-        max_bucket,
-        first_band_filter=None if max_bucket is not None else FIRST_BAND_ARRAY_FILTER,
-    )
+    return banded_pair_join(banded, ["band", "val"], max_bucket)
 
 
 def cosine_pairs(
