@@ -565,6 +565,19 @@ def connected_components(
     return labels.select(F.col("x").alias("doc"), F.col("comp").alias("component"))
 
 
+def dedup_survivors(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus: keep exactly one doc per component — the
+    component label IS the surviving doc id (smallest reachable), so the
+    filter is a broadcast-able semi-join, no shuffle of the fact table's
+    payload columns."""
+    keep = components.filter(F.col("doc") == F.col("component")).select(
+        F.col("doc").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 def simhash_bruteforce_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     """All pairs within Hamming ≤ ``max_hamming`` by a full self-join — the
     recall BASELINE for the ``simhash_recall`` check at test scale only

@@ -295,3 +295,17 @@ def test_simhash_candidates_guard_uses_two_level_star(spark):
     # group B's members must anchor on B's min (300), not the global min 0
     assert {(300, b) for b in range(301, 600)} <= got
     assert (0, 300) in got  # the single inter-group representative edge
+
+
+def test_dedup_survivors_keep_one_per_component(spark):
+    """End-to-end materialization: pairs → components → surviving corpus
+    (exactly the component representatives, everything else dropped)."""
+    from log_parser_cli_spark.extras.dedup import connected_components, dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    comps = connected_components(pairs, docs.select(F.col("doc_id").alias("doc")))
+    kept = sorted(r.doc_id for r in dedup_survivors(docs, comps).collect())
+    assert kept == [1, 10, 99]
