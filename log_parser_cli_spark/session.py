@@ -35,6 +35,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by MAP-OUTPUT bytes, which is
+        # blind to downstream row amplification: the LSH family aggregates a
+        # corpus to per-doc fingerprints (tiny bytes), then explodes 20-45
+        # banded rows per doc into a self-join whose OUTPUT is 1000× the
+        # shuffle bytes. With the default 1 MB minPartitionSize the whole
+        # banded join collapses to 1-2 partitions and runs serially
+        # (measured: 22s single-partition vs 5s at 19 partitions for the
+        # sf0.1 wide-SimHash join). A tiny floor lets parallelismFirst keep
+        # ~defaultParallelism partitions for small shuffles; at cluster
+        # scale total/parallelism dominates the max() and this floor is
+        # inert, so the setting is scale-neutral.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
