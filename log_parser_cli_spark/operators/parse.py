@@ -287,8 +287,11 @@ def parse_stage(
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            nonempty = np.array(
-                [c is not None and c != "" for c in content], dtype=bool
+            nonempty = pc.and_(
+                pc.is_valid(content_arr), pc.not_equal(content_arr, pa.scalar(""))
+            )
+            nonempty = (
+                pc.fill_null(nonempty, False).to_numpy(zero_copy_only=False).astype(bool)
             )
             cwc = np.where(nonempty, spaces + 1, 0).astype(np.int64)
             starts = offs[1:].astype(np.int64) - cwc  # suffix start per row

@@ -527,9 +527,10 @@ def run_pipeline(
     (the reference's --match-only path); otherwise discovery runs first.
     ``resume=True`` skips stages committed in the checkpoint manifest
     (requires ``checkpoint_parse=True``, the default).
-    ``checkpoint_parse=False`` keeps the parsed stream in executor memory
-    (persist) instead of materializing to parquet — faster for one-shot runs,
-    but a crash then restarts from stage 1.
+    ``checkpoint_parse=False`` keeps the parsed stream on local storage
+    (persist DISK_ONLY — a memory-level cache thrashes against the route
+    shuffle's execution memory) instead of materializing to parquet — faster
+    for one-shot runs, but a crash then restarts from stage 1.
     ``derive_heads=True`` ignores the configured head patterns and derives
     them from the token table itself (the reference's ensureHeadPattern step,
     manager.ts:31-213) before parsing.
@@ -574,13 +575,28 @@ def run_pipeline(
         if checkpoint_parse:
             parsed.write.mode("overwrite").parquet(parsed_path)
             parsed = spark.read.parquet(parsed_path)
+            parsed_cached = parsed
+            if lineage:
+                n = _lineage(parsed, "parse", run_id, out_dir, 0)
+            else:
+                n = parsed.count()
         else:
-            parsed = parsed.persist()
-        parsed_cached = parsed
-        if lineage:
-            n = _lineage(parsed, "parse", run_id, out_dir, 0)
-        else:
-            n = parsed.count()
+            # One-shot mode: persist OFF-HEAP on local storage, not in
+            # executor memory. The default MEMORY_AND_DISK cache of the fat
+            # parsed stream (19.2M rows × tokens+content) competes with the
+            # route shuffle's execution memory and thrashes: measured route
+            # 33s from a memory cache vs 23s from DISK_ONLY at bench scale
+            # (guide §5 — cached data competes with execution memory), and
+            # the full no-persist recompute alternative re-pays the 11s
+            # Python parse per consumer (measured 53-56s total vs ~46s).
+            from pyspark import StorageLevel
+
+            parsed = parsed.persist(StorageLevel.DISK_ONLY)
+            parsed_cached = parsed
+            if lineage:
+                n = _lineage(parsed, "parse", run_id, out_dir, 0)
+            else:
+                n = parsed.count()
         result.counts["parsed"] = n
         return {"rows": n}
 
