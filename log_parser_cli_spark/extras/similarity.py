@@ -129,48 +129,80 @@ def rhp_candidates(
       planes ride a broadcast single-row join and the signature is computed
       by higher-order functions — constant plan size, the 100 TB shape.
     """
+    if n_planes > 62:
+        raise ValueError(f"n_planes={n_planes} must fit a signed 64-bit signature")
     n_bands = n_planes // rows_per_band
+    mask = (1 << rows_per_band) - 1
+    # Pack ALL sign bits into ONE long signature per vector (the SimHash
+    # shape): band vals become bit-slices of the signature, computed by JVM
+    # shifts AFTER the explode instead of hyperplane dot products. The
+    # round-5 DISTINCT-dedup revert carried the per-band value ARRAY through
+    # the banding, and whole-stage codegen re-evaluated the 60 dot products
+    # per exploded row (measured 4×); the packed long plus an explicit
+    # exchange below makes that re-evaluation impossible — the signature is
+    # shuffle-materialized once per vector (16 bytes/row, negligible at any
+    # scale next to the banded-row shuffle the join itself pays).
     if planes_df is not None:
-        bits_expr = f"transform(planes, p -> IF(({DOT.format(a=vec_col, b='p')}) >= 0, 1, 0))"
-        bands_expr = (
-            f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
-            f"'band', b, 'val', aggregate(zip_with("
-            f"slice(_bits, b * {rows_per_band} + 1, {rows_per_band}), "
-            f"sequence(0, {rows_per_band - 1}), (x, r) -> x * shiftleft(1, r)), "
-            f"0, (acc, v) -> acc + v)))"
+        sig_expr = (
+            f"aggregate(zip_with("
+            f"transform(planes, p -> IF(({DOT.format(a=vec_col, b='p')}) >= 0, 1, 0)), "
+            f"sequence(0, {n_planes - 1}), "
+            f"(x, j) -> shiftleft(CAST(x AS BIGINT), j)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-        banded = (
-            embeddings.join(F.broadcast(planes_df))
-            .withColumn("_bits", F.expr(bits_expr))
-            .select(F.col(id_col).alias("doc"), F.explode(F.expr(bands_expr)).alias("bk"))
-            .select("doc", "bk.band", "bk.val")
+        sig = embeddings.join(F.broadcast(planes_df)).select(
+            F.col(id_col).alias("doc"), F.expr(sig_expr).alias("rhpsig")
         )
     else:
         planes = hyperplanes(n_planes, dim)
-        band_structs = []
-        for b in range(n_bands):
-            val_expr = " + ".join(
-                f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[b * rows_per_band + r]))}) >= 0 THEN {1 << r} ELSE 0 END)"
-                for r in range(rows_per_band)
+        sig_expr = " + ".join(
+            f"(CASE WHEN ({DOT.format(a=vec_col, b=_lit_array(planes[j]))}) >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(n_planes)
+        )
+        sig = embeddings.select(
+            F.col(id_col).alias("doc"), F.expr(sig_expr).alias("rhpsig")
+        )
+    banded = sig.repartition(F.col("doc")).select(
+        "doc",
+        "rhpsig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(rhpsig >> {b * rows_per_band}) & {mask}").alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-            band_structs.append(
-                F.struct(F.lit(b).alias("band"), F.expr(val_expr).alias("val"))
-            )
-        banded = embeddings.select(
-            F.col(id_col).alias("doc"), F.explode(F.array(*band_structs)).alias("bk")
-        ).select("doc", "bk.band", "bk.val")
+        ).alias("bk"),
+    ).select("doc", "rhpsig", "bk.band", "bk.val")
     # shared guarded tail (hot-bucket star cap + reporting via
     # dedup.hot_bucket_stats) — LSH bucket skew is one failure mode across
-    # every banding family, so it gets one implementation. NOTE: RHP keeps
-    # the DISTINCT pair-dedup rather than the first-band filter the SimHash/
-    # MinHash paths use — carrying the per-band signature array through the
-    # banding makes whole-stage codegen re-evaluate the 60 hyperplane dot
-    # products per exploded row (measured 10s → 46s on the sf0.1
-    # embedding_dedup), and RHP's band multiplicity is low enough that the
-    # distinct shuffles only ~the candidate count anyway.
+    # every banding family, so it gets one implementation. Unguarded, pair
+    # dedup is the shuffle-free first-matching-band filter (band b matches
+    # iff the XOR'd signatures' b-th slice is zero — the SimHash
+    # construction); guarded, the carried signature gives the two-level
+    # star its refinement key, so exact-duplicate vector groups inside a
+    # hot bucket keep their intra-group edges (previously the RHP guard
+    # degraded to the single-level star and dropped them).
     from log_parser_cli_spark.extras.dedup import banded_pair_join
 
-    return banded_pair_join(banded, ["band", "val"], max_bucket)
+    if max_bucket is not None:
+        return banded_pair_join(
+            banded, ["band", "val"], max_bucket, payload=("rhpsig",)
+        ).select("a", "b")
+    first = " ".join(
+        f"WHEN (((x.rhpsig ^ y.rhpsig) >> {b * rows_per_band}) & {mask}) = 0 THEN {b}"
+        for b in range(n_bands)
+    )
+    return banded_pair_join(
+        banded,
+        ["band", "val"],
+        None,
+        first_band_filter=f"band = (CASE {first} END)",
+    ).select("a", "b")
 
 
 def cosine_pairs(
@@ -187,8 +219,21 @@ def cosine_pairs(
     shape that survives 100 TB. Without, an all-pairs self-join (test-scale
     baselines only).
     """
-    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # norms are per-VECTOR, not per-pair: compute them once in the side
+    # projections instead of re-aggregating the array twice per candidate
+    # pair (bit-identical — same NORM expression over the same array, and
+    # sim keeps the exact dot/(na*nb) operation tree, only the operand
+    # evaluation site moves)
+    a = embeddings.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.expr(NORM.format(a=vec_col)).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.expr(NORM.format(a=vec_col)).alias("_nb"),
+    )
     if candidates is not None:
         pairs = (
             candidates.select("a", "b")
@@ -197,8 +242,9 @@ def cosine_pairs(
         )
     else:
         pairs = a.join(b, F.col("a") < F.col("b"))
+    sim = f"({DOT.format(a='va', b='vb')}) / (_na * _nb)"
     return (
-        pairs.withColumn("sim", F.round(F.expr(_cosine_expr("va", "vb")), 4))
+        pairs.withColumn("sim", F.round(F.expr(sim), 4))
         .filter(F.col("sim") >= threshold)
         .select(F.col("a").cast("long"), F.col("b").cast("long"), "sim")
     )
