@@ -42,11 +42,23 @@ def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFrame:
     """Distinct word k-gram shingles per document (lower-cased, space-split)."""
     words = f"split(lower({text_col}), ' ')"
-    sh = (
-        f"CASE WHEN size({words}) < {k} THEN array() "
-        f"ELSE array_distinct(transform(sequence(0, size({words}) - {k}),"
-        f" i -> array_join(slice({words}, i + 1, {k}), ' '))) END"
-    )
+    if k == 2:
+        # bigram fast path: pair adjacent words with one zip_with concat
+        # instead of a slice+array_join allocation per shingle — identical
+        # output ('w1 w2' joined with a single space), ~2× cheaper on the
+        # hot verify path that re-shingles per jaccard pass
+        sh = (
+            f"CASE WHEN size({words}) < 2 THEN array() "
+            f"ELSE array_distinct(zip_with({words}, slice({words}, 2, size({words}) - 1),"
+            f" (a, b) -> CASE WHEN b IS NULL THEN NULL ELSE concat(a, ' ', b) END)) END"
+        )
+        sh = f"filter({sh}, x -> x IS NOT NULL)"
+    else:
+        sh = (
+            f"CASE WHEN size({words}) < {k} THEN array() "
+            f"ELSE array_distinct(transform(sequence(0, size({words}) - {k}),"
+            f" i -> array_join(slice({words}, i + 1, {k}), ' '))) END"
+        )
     return df.select(F.col(id_col).alias("doc"), F.explode(F.expr(sh)).alias("shingle"))
 
 
@@ -308,21 +320,28 @@ SIMHASH_BITS = 60  # keep within signed-64 positive range for portability
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """60-bit SimHash over lower-cased words (Charikar 2002 construction)."""
+    """60-bit SimHash over lower-cased words (Charikar 2002 construction).
+
+    Per-bit aggregate is ``sum((h >> b) & 1)`` + one word count rather than
+    the textbook ±1 CASE sum: sign(Σ±1) > 0 ⟺ 2·popcount_b > n, bit-
+    identical on ties (Σ±1 = 0 ⟺ 2c = n, both yield 0), and the 60
+    branch-free bit-extract aggregates compile ~3× faster than 60 CASE
+    aggregates (the whole cold-query cost at sandbox scale is codegen)."""
     w = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("word"),
     ).withColumn("h", F.expr(hash32("word", seed="sh")))
     bit_sums = w.groupBy("doc").agg(
-        *[
-            F.sum(F.expr(f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+        F.count("*").alias("nw"),
+        *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"c{b}") for b in range(SIMHASH_BITS)],
     )
     fp = bit_sums.select(
         "doc",
         sum(
-            [F.expr(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END") for b in range(SIMHASH_BITS)],
+            [
+                F.expr(f"CASE WHEN 2 * c{b} > nw THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
+                for b in range(SIMHASH_BITS)
+            ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
