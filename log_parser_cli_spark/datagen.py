@@ -266,6 +266,38 @@ def _word_is_slot(w: str) -> bool:
     return "{" in w and "}" in w
 
 
+# Pre-parsed template specs: slot structure and the (constant) star string are
+# independent of the drawn values, so parsing the spec per render is pure
+# per-row overhead in the generate loop. Cache key is the spec string itself.
+_TPL_CACHE: dict[str, tuple[list[str | None], str, list[tuple[int, bool, str, str, str]]]] = {}
+
+
+def _compile_template(tpl: str):
+    """tpl spec → (literal word list with None at slots, star string,
+    [(word_pos, is_kv, prefix_or_key, suffix, pool_name), ...])."""
+    lit: list[str | None] = []
+    star_words: list[str] = []
+    slots: list[tuple[int, bool, str, str, str]] = []
+    for pos, w in enumerate(_template_words(tpl)):
+        if not _word_is_slot(w):
+            lit.append(w)
+            star_words.append(w)
+            continue
+        lb, rb = w.index("{"), w.index("}")
+        prefix, slot, suffix = w[:lb], w[lb + 1 : rb], w[rb + 1 :]
+        lit.append(None)
+        if slot.startswith("kv:"):
+            key = slot.split(":", 1)[1]
+            slots.append((pos, True, key, "", "int"))
+            star_words.append(f"{key}=<*>")
+        else:
+            slots.append((pos, False, prefix, suffix, slot))
+            # a {word} slot value is plain-alpha → pipeline sees the whole word
+            # as the variable; star form is still <*>
+            star_words.append(f"{prefix}<*>{suffix}" if (prefix or suffix) else "<*>")
+    return lit, " ".join(star_words), slots
+
+
 def render_template(
     tpl: str, d: "_Draw", pools: dict[str, list[str]]
 ) -> tuple[str, str, list[str], list[str]]:
@@ -277,33 +309,27 @@ def render_template(
     - var_values: regex-matcher semantics (value only, e.g. '123'),
     - word_vars: signature-pipeline semantics (full differing word,
       e.g. 'port=123').
+
+    Draw order (one pick per slot, template word order) is part of the fixture
+    contract: the rng stream is shared across the row loop, so any reorder
+    changes every later fixture byte.
     """
-    out_words: list[str] = []
-    star_words: list[str] = []
+    compiled = _TPL_CACHE.get(tpl)
+    if compiled is None:
+        compiled = _compile_template(tpl)
+        _TPL_CACHE[tpl] = compiled
+    lit, star, slots = compiled
+    out_words = lit[:]
     var_values: list[str] = []
     word_vars: list[str] = []
-    for w in _template_words(tpl):
-        if not _word_is_slot(w):
-            out_words.append(w)
-            star_words.append(w)
-            continue
-        lb, rb = w.index("{"), w.index("}")
-        prefix, slot, suffix = w[:lb], w[lb + 1 : rb], w[rb + 1 :]
-        if slot.startswith("kv:"):
-            key = slot.split(":", 1)[1]
-            value = d.pick(pools["int"])
-            word = f"{key}={value}"
-            star_words.append(f"{key}=<*>")
-        else:
-            value = d.pick(pools[slot])
-            word = f"{prefix}{value}{suffix}"
-            # a {word} slot value is plain-alpha → pipeline sees the whole word
-            # as the variable; star form is still <*>
-            star_words.append(f"{prefix}<*>{suffix}" if (prefix or suffix) else "<*>")
-        out_words.append(word)
+    pick = d.pick
+    for pos, is_kv, prefix, suffix, pool in slots:
+        value = pick(pools[pool])
+        word = f"{prefix}={value}" if is_kv else f"{prefix}{value}{suffix}"
+        out_words[pos] = word
         var_values.append(value)
         word_vars.append(word)
-    return " ".join(out_words), " ".join(star_words), var_values, word_vars
+    return " ".join(out_words), star, var_values, word_vars
 
 
 def build_template_dim(rng: np.random.Generator, pools: dict[str, list[str]]) -> list[dict]:
@@ -375,53 +401,62 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
 
     vocab: dict[str, int] = {}
 
-    def tok(word: str) -> int:
-        tid = vocab.get(word)
-        if tid is None:
-            tid = len(vocab)
-            vocab[word] = tid
-        return tid
-
+    # Columnar accumulation: the old per-row gt dict (+ the later per-column
+    # list comprehensions over 300k dicts) was ~1/3 of generate()'s wall. The
+    # rng draw SEQUENCE below is byte-contractual — one pick per head field /
+    # template slot / noise word, in the exact old order.
     doc_ids, tokens_flat, tokens_off = [], [], [0]
     srcs, n_toks = [], []
-    gt_rows: list[dict] = []
+    ev_ids: list[str] = []
+    ev_templates: list[str] = []
+    head_matcheds: list[bool] = []
+    n_vars_col: list[int] = []
+    var_concats: list[str] = []
+    word_var_concats: list[str] = []
+    contents: list[str] = []
+    rendereds: list[str] = []
+
+    vocab_setdefault = vocab.setdefault
+    pick = draw.pick
+    noise_range = range(5)
+    noise_list = noise_mask.tolist()
+    src_idx_list = src_choice.tolist()
+    tpl_idx_list = {name: arr.tolist() for name, arr in tpl_choice.items()}
 
     for i in range(n_rows):
-        src = SOURCES[int(src_choice[i])]
-        doc_id = f"doc-{i:09d}"
-        if noise_mask[i]:
-            nw = 4 + int(draw.pick(range(5)))
-            words = [draw.pick(NOISE_WORDS) for _ in range(nw)]
-            line = " ".join(words)
-            gt = {
-                "event_id": "__UNPARSED__", "event_template": "", "head_matched": False,
-                "n_vars": 0, "var_concat": "", "word_var_concat": "", "content": "",
-            }
+        src = SOURCES[src_idx_list[i]]
+        if noise_list[i]:
+            nw = 4 + int(pick(noise_range))
+            line = " ".join([pick(NOISE_WORDS) for _ in range(nw)])
+            ev_ids.append("__UNPARSED__")
+            ev_templates.append("")
+            head_matcheds.append(False)
+            n_vars_col.append(0)
+            var_concats.append("")
+            word_var_concats.append("")
+            contents.append("")
         else:
-            t_idx = int(tpl_choice[src.name][tpl_cursor[src.name]])
-            tpl_cursor[src.name] += 1
+            cur = tpl_cursor[src.name]
+            t_idx = tpl_idx_list[src.name][cur]
+            tpl_cursor[src.name] = cur + 1
             head = _render_head(src.head_kind, draw, pools)
             content, star, values, word_vars = render_template(src.templates[t_idx], draw, pools)
             line = f"{head} {content}"
-            gt = {
-                "event_id": f"{src.name}#{t_idx + 1}", "event_template": star,
-                "head_matched": True, "n_vars": len(values),
-                "var_concat": "|".join(values), "word_var_concat": "|".join(word_vars),
-                "content": content,
-            }
+            ev_ids.append(f"{src.name}#{t_idx + 1}")
+            ev_templates.append(star)
+            head_matcheds.append(True)
+            n_vars_col.append(len(values))
+            var_concats.append("|".join(values))
+            word_var_concats.append("|".join(word_vars))
+            contents.append(content)
         words = line.split(" ")
-        ids = [tok(w) for w in words]
-        doc_ids.append(doc_id)
+        ids = [vocab_setdefault(w, len(vocab)) for w in words]
+        doc_ids.append(f"doc-{i:09d}")
         tokens_flat.extend(ids)
         tokens_off.append(len(tokens_flat))
         srcs.append(src.name)
         n_toks.append(len(ids))
-        gt_rows.append(
-            {
-                "doc_id": doc_id, "line_no": i + 1, "source": src.name,
-                "n_tok": len(ids), "rendered": line, **gt,
-            }
-        )
+        rendereds.append(line)
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -479,20 +514,21 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
         os.path.join(out_dir, "sources.parquet"),
     )
 
+    line_nos = list(range(1, n_rows + 1))
     gt_tbl = pa.table(
         {
-            "doc_id": pa.array([r["doc_id"] for r in gt_rows]),
-            "line_no": pa.array([r["line_no"] for r in gt_rows], pa.int64()),
-            "source": pa.array([r["source"] for r in gt_rows]),
-            "event_id": pa.array([r["event_id"] for r in gt_rows]),
-            "event_template": pa.array([r["event_template"] for r in gt_rows]),
-            "n_tok": pa.array([r["n_tok"] for r in gt_rows], pa.int32()),
-            "head_matched": pa.array([r["head_matched"] for r in gt_rows], pa.bool_()),
-            "n_vars": pa.array([r["n_vars"] for r in gt_rows], pa.int32()),
-            "var_concat": pa.array([r["var_concat"] for r in gt_rows]),
-            "word_var_concat": pa.array([r["word_var_concat"] for r in gt_rows]),
-            "rendered": pa.array([r["rendered"] for r in gt_rows]),
-            "content": pa.array([r["content"] for r in gt_rows]),
+            "doc_id": pa.array(doc_ids),
+            "line_no": pa.array(line_nos, pa.int64()),
+            "source": pa.array(srcs),
+            "event_id": pa.array(ev_ids),
+            "event_template": pa.array(ev_templates),
+            "n_tok": pa.array(n_toks, pa.int32()),
+            "head_matched": pa.array(head_matcheds, pa.bool_()),
+            "n_vars": pa.array(n_vars_col, pa.int32()),
+            "var_concat": pa.array(var_concats),
+            "word_var_concat": pa.array(word_var_concats),
+            "rendered": pa.array(rendereds),
+            "content": pa.array(contents),
         }
     )
     pq.write_table(gt_tbl, os.path.join(out_dir, "ground_truth.parquet"), row_group_size=20_000)
@@ -500,10 +536,9 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
     # Eval labels fixture: deterministic perturbation of GT — oversplit two
     # templates by line parity (pure split), merge two others (impure merge).
     pred = []
-    for r in gt_rows:
-        gid = r["event_id"]
+    for line_no, gid in zip(line_nos, ev_ids):
         if gid == "apache#1":
-            pred.append(f"apache#1{'a' if r['line_no'] % 2 == 0 else 'b'}")
+            pred.append(f"apache#1{'a' if line_no % 2 == 0 else 'b'}")
         elif gid in ("hdfs#1", "hdfs#2"):
             pred.append("hdfs#merged")
         else:
@@ -511,8 +546,8 @@ def generate(out_dir: str, n_rows: int, seed: int = SEED, noise_frac: float = 0.
     pq.write_table(
         pa.table(
             {
-                "line_no": pa.array([r["line_no"] for r in gt_rows], pa.int64()),
-                "gt_id": pa.array([r["event_id"] for r in gt_rows]),
+                "line_no": pa.array(line_nos, pa.int64()),
+                "gt_id": pa.array(ev_ids),
                 "pred_id": pa.array(pred),
             }
         ),
