@@ -130,6 +130,10 @@ def q_match_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_rows, source_heads, _ = load_dims(spark, fx)
     seq = spark.read.parquet(os.path.join(fx, "sequences.parquet"))
     parsed = parse_stage(spark, seq, vocab_rows, source_heads)
+    # mapInPandas ships every input column through the Python boundary
+    # (Spark cannot prune through an opaque function — guide §4.1); this
+    # aggregate needs only these three, so don't ship tokens/doc_id/sig
+    parsed = parsed.select("source", "content", "head_matched")
     matched = match_templates(spark, parsed, load_fixture_table(fx, "templates"))
     return matched.groupBy(
         "source",
