@@ -266,11 +266,20 @@ def image_near_dup_pairs(
 
     width = 64 // chunks
     mask = (1 << width) - 1
-    fp = features.filter(F.col("phash64").isNotNull())
-    if "mime" in features.columns:
-        # audio carries a phash64 too (envelope hash) — image and audio
-        # hashes live in unrelated spaces, so keep the banding per modality
-        fp = fp.filter(F.col("mime").startswith("image/"))
+    if "mime" not in features.columns:
+        # audio carries a phash64 too (envelope hash) and the two hash
+        # spaces are unrelated — banding them together silently produces
+        # cross-modality "image" pairs. Refuse projected inputs that
+        # dropped the modality column rather than degrade.
+        raise ValueError(
+            "image_near_dup_pairs needs a 'mime' column to exclude "
+            "non-image phash64 rows (audio envelope hashes share the "
+            "column but not the hash space); pass the un-projected "
+            "features output"
+        )
+    fp = features.filter(F.col("phash64").isNotNull()).filter(
+        F.col("mime").startswith("image/")
+    )
     fp = fp.select(F.col("asset_id").alias("doc"), F.col("phash64").alias("ph"))
     banded = fp.select(
         "doc",

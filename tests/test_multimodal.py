@@ -443,6 +443,12 @@ def test_image_near_dup_pairs_exclude_audio(spark):
     assert by_id["wav-1"] == by_id["wav-2"]
     pairs = {(r.asset_a, r.asset_b) for r in image_near_dup_pairs(feats, max_hamming=6).collect()}
     assert pairs == {("img-jpg", "img-png")} or pairs == {("img-png", "img-jpg")}
+    # projected input that dropped the modality column must raise, not
+    # silently band audio hashes into the image space (ADVICE r5)
+    import pytest
+
+    with pytest.raises(ValueError, match="mime"):
+        image_near_dup_pairs(feats.select("asset_id", "phash64"))
 
 
 def test_avi_mjpeg_container_roundtrip_and_rejections():
