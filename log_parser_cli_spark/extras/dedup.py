@@ -71,11 +71,30 @@ def jaccard_pairs(
     With ``candidates`` (columns a, b) only those pairs are scored — the
     scale path; without, scoring happens for every shingle-sharing pair
     (fine at test scale, quadratic in duplicate-group size at 100 TB).
+    Candidates that additionally carry ``sz_a``/``sz_b`` (per-doc distinct
+    shingle counts, e.g. ridden through the LSH banding as join payload)
+    skip this function's own size aggregation + two size joins entirely.
     """
     # no .cache(): shingling is a narrow transform recomputed per reference
     # (3 scans max), and at the design scale a shingle cache wouldn't fit
     # executor storage anyway — a session-lifetime pin was the round-3 leak
     sh = shingles(df, id_col, text_col, k)
+    if candidates is not None and {"sz_a", "sz_b"}.issubset(candidates.columns):
+        inter = (
+            candidates.select("a", "b", "sz_a", "sz_b")
+            .join(sh.withColumnRenamed("doc", "a"), "a")
+            .join(sh.withColumnRenamed("doc", "b"), ["b", "shingle"])
+            .groupBy("a", "b", "sz_a", "sz_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if candidates is not None:
         # restrict the join INPUTS to candidate pairs before any pair is
@@ -108,15 +127,27 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 16
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, n_hashes: int = 16,
+    with_size: bool = False,
 ) -> DataFrame:
-    """doc → array of n_hashes min-hash values (portable seeded md5 hashes)."""
+    """doc → array of n_hashes min-hash values (portable seeded md5 hashes).
+
+    ``with_size=True`` adds the per-doc distinct-shingle count (``sz``) to the
+    SAME aggregation, so a downstream Jaccard verify can consume it without
+    its own shingle scan — and because both consumers then share one
+    byte-identical aggregation subtree, Spark's ReuseExchange serves them
+    from a single shuffle of the shingle stream."""
     sh = shingles(df, id_col, text_col, k)
     aggs = [
         F.min(F.expr(hash32("shingle", seed=f"mh{i}"))).alias(f"h{i}") for i in range(n_hashes)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("sz"))
     sig = sh.groupBy("doc").agg(*aggs)
-    return sig.select("doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+    cols = ["doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")]
+    if with_size:
+        cols.append(F.col("sz"))
+    return sig.select(*cols)
 
 
 def hot_bucket_stats(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
@@ -270,9 +301,14 @@ band where the two arrays agree — the payload-array twin of the SimHash
 XOR construction (see ``banded_pair_join``)."""
 
 
-def minhash_banded(sig: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+def minhash_banded(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 4,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(doc, band, bucket, _bands) banded rows for MinHash LSH; ``_bands``
-    carries the doc's full bucket array for the first-band dedup filter."""
+    carries the doc's full bucket array for the first-band dedup filter.
+    ``carry`` names extra per-doc columns to ride along (e.g. the shingle
+    count, so the Jaccard verify needs no size joins)."""
     buckets = F.array(
         *[
             F.md5(
@@ -287,8 +323,8 @@ def minhash_banded(sig: DataFrame, bands: int = 4, rows_per_band: int = 4) -> Da
             for b in range(bands)
         ]
     )
-    return sig.select("doc", buckets.alias("_bands")).select(
-        "doc", "_bands", F.posexplode("_bands").alias("band", "bucket")
+    return sig.select("doc", *carry, buckets.alias("_bands")).select(
+        "doc", *carry, "_bands", F.posexplode("_bands").alias("band", "bucket")
     )
 
 
@@ -310,9 +346,20 @@ def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.5,
     n_hashes: int = 16, bands: int = 4,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify."""
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    cands = minhash_lsh_candidates(sig, bands, n_hashes // bands)
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
+
+    The signature aggregation also emits each doc's shingle count, which
+    rides the banding and the pair join as payload (``sz_a``/``sz_b``, +8
+    bytes next to the ~128-byte ``_bands`` array already carried) — the
+    Jaccard verify then needs NO size aggregation and NO size joins: two
+    whole shingle passes and two joins gone from the plan (guide §2.3:
+    shuffle keys and metadata, decide downstream from what already flowed)."""
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes, with_size=True)
+    banded = minhash_banded(sig, bands, n_hashes // bands, carry=("sz",))
+    cands = banded_pair_join(
+        banded, ["band", "bucket"], None,
+        payload=("sz",), first_band_filter=FIRST_BAND_ARRAY_FILTER,
+    )
     return jaccard_pairs(df, id_col, text_col, k, threshold, candidates=cands)
 
 
