@@ -744,13 +744,24 @@ RHP_ROWS_PER_BAND = 3
 RHP_THRESHOLD = 0.4
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector dimensionality read from the parquet file's first row on the
+    driver — every row has the same dim, and this avoids spending a whole
+    Spark job (executeTake + scan task) on one metadata scalar."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(_tbl(sf_dir, "embeddings"))
+    batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidates → exact cosine verify (no
     corpus×corpus join; candidate shuffles are keyed on band buckets)."""
     from log_parser_cli_spark.extras.similarity import cosine_pairs, rhp_candidates
 
     emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(sf_dir)
     cands = rhp_candidates(emb, dim=dim, n_planes=RHP_PLANES, rows_per_band=RHP_ROWS_PER_BAND)
     return cosine_pairs(emb, threshold=RHP_THRESHOLD, candidates=cands)
 
@@ -763,7 +774,7 @@ def q_rhp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log_parser_cli_spark.extras.similarity import cosine_pairs, rhp_candidates
 
     emb = spark.read.parquet(_tbl(sf_dir, "embeddings"))
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(sf_dir)
     cands = rhp_candidates(emb, dim=dim, n_planes=RHP_PLANES, rows_per_band=RHP_ROWS_PER_BAND)
     lsh = cosine_pairs(emb, threshold=RHP_THRESHOLD, candidates=cands).select("a", "b")
     exact = cosine_pairs(emb, threshold=RHP_THRESHOLD).select("a", "b")
