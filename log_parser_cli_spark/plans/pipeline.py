@@ -579,7 +579,16 @@ def run_pipeline(
             if lineage:
                 n = _lineage(parsed, "parse", run_id, out_dir, 0)
             else:
-                n = parsed.count()
+                # row count from the just-written files' parquet footers —
+                # exact, driver-side, no scan job
+                import glob as _glob
+
+                import pyarrow.parquet as _pq
+
+                n = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in _glob.glob(os.path.join(parsed_path, "*.parquet"))
+                )
         else:
             # One-shot mode: persist OFF-HEAP on local storage, not in
             # executor memory. The default MEMORY_AND_DISK cache of the fat
